@@ -1,0 +1,105 @@
+"""Network building blocks.
+
+Flax/NHWC re-design of the reference's PyTorch units
+(``minizero/network/py/network_unit.py``): ResidualBlock (2x conv3x3 + BN),
+PolicyNetwork (1x1 conv -> FC logits), ValueNetwork (1x1 conv -> FC -> tanh),
+DiscreteValueNetwork (softmax bin logits).
+
+NHWC is used throughout (TPU-native layout; XLA maps the 3x3 convs onto the
+MXU), versus the reference's NCHW torch layout. BatchNorm uses torch-equivalent
+hyperparameters (momentum 0.9 in flax convention == torch 0.1, eps 1e-5).
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class ResidualBlock(nn.Module):
+    """reference network_unit.py:6-22"""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        inp = x
+        x = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=True)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=True)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        return nn.relu(inp + x)
+
+
+class PolicyHead(nn.Module):
+    """reference network_unit.py:25-42: 1x1 conv to ceil(A/(H*W)) channels,
+    BN, relu, FC to action logits."""
+
+    height: int
+    width: int
+    action_size: int
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        out_channels = math.ceil(self.action_size / (self.height * self.width))
+        x = nn.Conv(out_channels, (1, 1), use_bias=True)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        return nn.Dense(self.action_size)(x)
+
+
+class ValueHead(nn.Module):
+    """Scalar tanh value head (reference network_unit.py:45-66)."""
+
+    height: int
+    width: int
+    hidden_channels: int
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(1, (1, 1), use_bias=True)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dense(self.hidden_channels)(x)
+        x = nn.relu(x)
+        x = nn.Dense(1)(x)
+        return jnp.tanh(x)
+
+
+class DiscreteValueHead(nn.Module):
+    """Distributional value/reward head returning bin logits
+    (reference network_unit.py:69-87)."""
+
+    height: int
+    width: int
+    hidden_channels: int
+    value_size: int
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        out_channels = math.ceil(self.value_size / (self.height * self.width))
+        x = nn.Conv(out_channels, (1, 1), use_bias=True)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dense(self.hidden_channels)(x)
+        x = nn.relu(x)
+        return nn.Dense(self.value_size)(x)
+
+
+def scale_hidden_state(hidden_state: jnp.ndarray) -> jnp.ndarray:
+    """Min-max scale each sample's hidden state to [0, 1]
+    (reference muzero_network.py:154-164)."""
+    b = hidden_state.shape[0]
+    flat = hidden_state.reshape(b, -1)
+    min_val = jnp.min(flat, axis=-1, keepdims=True)
+    max_val = jnp.max(flat, axis=-1, keepdims=True)
+    scale = max_val - min_val
+    scale = jnp.where(scale < 1e-5, scale + 1e-5, scale)
+    flat = (flat - min_val) / scale
+    return flat.reshape(hidden_state.shape)

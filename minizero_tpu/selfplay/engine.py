@@ -1,0 +1,293 @@
+"""Self-play engine: fused env + MCTS + network loop on device.
+
+TPU-native replacement for the reference's ActorGroup worker
+(``minizero/actor/actor_group.cpp``): instead of 64 actor threads alternating
+CPU (tree ops) and GPU (batched forward) phases (``actor_group.cpp:136-148``),
+a single jitted function advances B independent games in lock-step — one MCTS
+simulation for all games per network forward, ``num_simulations + 1`` forwards
+per move, everything (env transitions, tree ops, inference) staying on device.
+
+The per-move jitted step returns exactly the data the reference records per
+move (``actor/base_actor.cpp:59-66``): the search policy distribution P, the
+root mean value V, the env reward R — plus the action, resign signal, and the
+pre-move feature planes (stored for replay instead of the reference's
+replay-the-whole-game-per-sample ``base_env.h:235-241``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from minizero_tpu.config import Config
+from minizero_tpu.envs.base import Env
+from minizero_tpu.models.alphazero import AlphaZeroNetwork
+from minizero_tpu.search import gumbel as gz
+from minizero_tpu.search import mcts
+from minizero_tpu.search.mcts import SearchSpec, Tree
+from minizero_tpu.utils.transforms import from_discrete_value
+
+
+def search_spec_from_config(cfg: Config, env_spec, eval_mode: bool = False) -> SearchSpec:
+    """Build the static search spec (eval mode disables exploration noise,
+    reference ``README.md:203`` eval recipe)."""
+    return SearchSpec(
+        action_size=env_spec.action_size,
+        num_simulations=cfg.actor_num_simulation,
+        puct_base=cfg.actor_mcts_puct_base,
+        puct_init=cfg.actor_mcts_puct_init,
+        discount=cfg.actor_mcts_reward_discount,
+        value_rescale=cfg.actor_mcts_value_rescale,
+        init_q_average=cfg.actor_mcts_init_q_average,
+        flip_player2_value=(cfg.actor_mcts_value_flipping_player == "W" and env_spec.num_players == 2),
+        use_dirichlet_noise=cfg.actor_use_dirichlet_noise and not eval_mode,
+        dirichlet_alpha=cfg.actor_dirichlet_noise_alpha,
+        dirichlet_epsilon=cfg.actor_dirichlet_noise_epsilon,
+        use_gumbel_noise=cfg.actor_use_gumbel_noise and not eval_mode,
+        use_gumbel=cfg.actor_use_gumbel,
+        gumbel_sample_size=cfg.actor_gumbel_sample_size,
+        gumbel_sigma_visit_c=cfg.actor_gumbel_sigma_visit_c,
+        gumbel_sigma_scale_c=cfg.actor_gumbel_sigma_scale_c,
+        select_by_count=cfg.actor_select_action_by_count or eval_mode,
+    )
+
+
+class MoveOutput(NamedTuple):
+    """Per-move results for a batch of games (all device arrays)."""
+
+    action: jnp.ndarray  # i32[B]
+    policy_target: jnp.ndarray  # f32[B, A] — P tag
+    root_value: jnp.ndarray  # f32[B] — V tag (root mean)
+    reward: jnp.ndarray  # f32[B] — R tag (env reward after the move)
+    resign: jnp.ndarray  # bool[B] — search proposes resignation
+    features: jnp.ndarray  # u8[B, H, W, C] — pre-move feature planes
+    states: Any  # stepped env states
+    done: jnp.ndarray  # bool[B] — stepped state is terminal
+    eval_score: jnp.ndarray  # f32[B] — eval score of stepped state
+    resign_score: jnp.ndarray  # f32[B] — eval score if current player resigns
+
+
+class SelfPlayEngine:
+    """Batched self-play over one device (multi-host sharding layered on top,
+    SURVEY.md §7 stage 8)."""
+
+    def __init__(self, env: Env, cfg: Config, network, eval_mode: bool = False):
+        self.env = env
+        self.cfg = cfg
+        self.network = network
+        self.spec = search_spec_from_config(cfg, env.spec, eval_mode=eval_mode)
+        self.is_muzero = not isinstance(network, AlphaZeroNetwork)
+        self.use_rotation = (
+            cfg.actor_use_random_rotation_features and not self.is_muzero and env.num_rotations() > 1
+        )
+        self._move = jax.jit(self._move_impl)
+        self._reset_slots = jax.jit(self._reset_slots_impl)
+        self._init_batch = jax.jit(self._init_batch_impl, static_argnums=0)
+
+    # ------------------------------------------------------------- env batch
+    def _init_batch_impl(self, batch_size: int):
+        state = self.env.init()
+        return jax.tree_util.tree_map(lambda x: jnp.stack([x] * batch_size), state)
+
+    def init_batch(self, batch_size: int):
+        return self._init_batch(batch_size)
+
+    def _reset_slots_impl(self, states, mask):
+        fresh = self.env.init()
+        return jax.tree_util.tree_map(
+            lambda s, f: jnp.where(mask.reshape((-1,) + (1,) * (s.ndim - 1)), f[None], s), states, fresh
+        )
+
+    def reset_slots(self, states, mask):
+        return self._reset_slots(states, jnp.asarray(mask))
+
+    # ------------------------------------------------------------- inference
+    def _forward_features(self, variables, feats, rngs_rot):
+        """AlphaZero net forward with optional random feature rotation
+        (reference zero_actor.cpp:54-57, 222-223)."""
+        if self.use_rotation:
+            rots = jax.vmap(lambda k: jax.random.randint(k, (), 0, self.env.num_rotations()))(rngs_rot)
+            feats = jax.vmap(lambda f, r: self.env.rotate_features(f, r))(feats, rots)
+        out = self.network.apply(variables, feats, train=False)
+        policy, logits = out["policy"], out["policy_logit"]
+        if self.use_rotation:
+            policy = jax.vmap(lambda p, r: self.env.rotate_policy_back(p, r))(policy, rots)
+            logits = jax.vmap(lambda p, r: self.env.rotate_policy_back(p, r))(logits, rots)
+        value = self._scalar_value(out)
+        return policy, logits, value
+
+    def _scalar_value(self, out) -> jnp.ndarray:
+        if self.env.spec.discrete_value_size > 1:
+            return from_discrete_value(out["value"])
+        return out["value"][:, 0]
+
+    def _scalar_reward(self, out) -> jnp.ndarray:
+        if "reward" in out:
+            return from_discrete_value(out["reward"])
+        return jnp.zeros(out["policy"].shape[0], jnp.float32)
+
+    # ---------------------------------------------------------------- search
+    def _move_impl(self, variables, states, rng, temperature):
+        env, spec = self.env, self.spec
+        batch = jax.tree_util.tree_leaves(states)[0].shape[0]
+        turns = jax.vmap(env.turn)(states)
+        feats = jax.vmap(env.features)(states)
+        features_u8 = jnp.clip(feats * 255.0, 0, 255).astype(jnp.uint8) if env.spec.name.startswith("atari") \
+            else feats.astype(jnp.uint8)
+
+        rng, k_rot, k_noise = jax.random.split(rng, 3)
+
+        # ---- root evaluation (simulation 0; reference zero_actor.cpp:51-72)
+        if self.is_muzero:
+            out = self.network.apply(variables, feats, train=False, method=self.network.initial_inference)
+            policy, logits = out["policy"], out["policy_logit"]
+            value = self._scalar_value(out)
+            root_embedding = out["hidden_state"]
+        else:
+            policy, logits, value = self._forward_features(
+                variables, feats, jax.random.split(k_rot, batch)
+            )
+            root_embedding = states
+
+        proto = jax.tree_util.tree_map(lambda x: x[0], root_embedding)
+        trees = jax.vmap(lambda t: mcts.init_tree(spec, proto, t))(turns)
+        legal = jax.vmap(env.legal_mask)(states)
+        no_parent = jnp.full((batch,), -1, jnp.int32)
+        zeros_i = jnp.zeros((batch,), jnp.int32)
+        falses = jnp.zeros((batch,), bool)
+        trees = jax.vmap(functools.partial(mcts.expand_node, spec))(
+            trees, zeros_i, no_parent, zeros_i, turns, policy, logits, legal, falses,
+            jax.tree_util.tree_map(lambda x: x, root_embedding),
+        )
+        trees = jax.vmap(functools.partial(mcts.backup, spec))(
+            trees, zeros_i, value, jnp.zeros((batch,), jnp.float32)
+        )
+        trees = jax.vmap(functools.partial(mcts.add_root_noise, spec))(
+            trees, jax.random.split(k_noise, batch)
+        )
+        if spec.use_gumbel:
+            trees = jax.vmap(functools.partial(gz.init_candidates, spec))(trees)
+
+        # ---- simulations 1..n
+        def sim_body(s, carry):
+            trees, rng = carry
+            rng, k_rot = jax.random.split(rng)
+            if spec.use_gumbel:
+                sel = jax.vmap(functools.partial(gz.gumbel_select_leaf, spec))(trees)
+            else:
+                sel = jax.vmap(lambda t: mcts.select_leaf(spec, t, jnp.int32(0)))(trees)
+
+            parent_embedding = jax.tree_util.tree_map(
+                lambda x: jax.vmap(lambda e, p: e[jnp.maximum(p, 0)])(x, sel.parent),
+                trees.embedding,
+            )
+
+            if self.is_muzero:
+                action_planes = jax.vmap(env.action_features)(sel.action)
+                out = self.network.apply(
+                    variables, parent_embedding, action_planes, train=False,
+                    method=self.network.recurrent_inference,
+                )
+                policy, logits = out["policy"], out["policy_logit"]
+                value = self._scalar_value(out)
+                reward = self._scalar_reward(out)
+                leaf_embedding = out["hidden_state"]
+                leaf_terminal = jnp.zeros((batch,), bool)
+                leaf_legal = jnp.ones((batch, spec.action_size), bool)
+                leaf_turn = jnp.where(
+                    jnp.int32(env.spec.num_players) == 1,
+                    jnp.ones_like(sel.parent),
+                    3 - jax.vmap(lambda t, p: t.to_play[jnp.maximum(p, 0)])(trees, sel.parent),
+                )
+            else:
+                leaf_states = jax.vmap(env.step)(parent_embedding, sel.action)
+                leaf_terminal = jax.vmap(env.is_terminal)(leaf_states)
+                leaf_feats = jax.vmap(env.features)(leaf_states)
+                policy, logits, net_value = self._forward_features(
+                    variables, leaf_feats, jax.random.split(k_rot, batch)
+                )
+                # terminal leaves back up the true outcome instead of the net
+                # value (reference zero_actor.cpp:79-86)
+                value = jnp.where(leaf_terminal, jax.vmap(env.eval_score)(leaf_states), net_value)
+                reward = jax.vmap(env.reward)(leaf_states)
+                leaf_embedding = leaf_states
+                leaf_legal = jax.vmap(env.legal_mask)(leaf_states)
+                leaf_turn = jax.vmap(env.turn)(leaf_states)
+
+            node_idx = jnp.full((batch,), s, jnp.int32)
+
+            def per_game(tree, sel, policy, logits, legal, terminal, value, reward, turn, embedding, nidx):
+                def new_case(tree):
+                    t = mcts.expand_node(
+                        spec, tree, nidx, sel.parent, sel.action, turn,
+                        policy, logits, legal, terminal, embedding,
+                    )
+                    return mcts.backup(spec, t, nidx, value, reward)
+
+                def revisit_case(tree):
+                    leaf = jnp.maximum(sel.leaf, 0)
+                    return mcts.backup(spec, tree, leaf, tree.value[leaf], tree.reward[leaf])
+
+                return jax.lax.cond(sel.is_new, new_case, revisit_case, tree)
+
+            trees = jax.vmap(functools.partial(per_game))(
+                trees, sel, policy, logits, leaf_legal, leaf_terminal, value, reward,
+                leaf_turn, leaf_embedding, node_idx,
+            )
+            if spec.use_gumbel:
+                trees = jax.vmap(functools.partial(gz.sequential_halving_tick, spec))(trees)
+            return trees, rng
+
+        trees, rng = jax.lax.fori_loop(1, spec.num_simulations + 1, sim_body, (trees, rng))
+
+        # ---- action decision (reference ZeroActor::decideActionNode,
+        # zero_actor.cpp:178-192)
+        rng, k_sel = jax.random.split(rng)
+        sel_keys = jax.random.split(k_sel, batch)
+        if spec.use_gumbel:
+            if spec.select_by_count:
+                action = jax.vmap(functools.partial(gz.decide_action, spec))(trees)
+            else:
+                action = jax.vmap(
+                    lambda t, k: mcts.select_action_by_softmax_count(spec, t, k, temperature)
+                )(trees, sel_keys)
+            policy_target = jax.vmap(functools.partial(gz.improved_policy_target, spec))(trees)
+        else:
+            if spec.select_by_count:
+                action = jax.vmap(mcts.select_action_by_max_count)(trees)
+            else:
+                action = jax.vmap(
+                    lambda t, k: mcts.select_action_by_softmax_count(spec, t, k, temperature)
+                )(trees, sel_keys)
+            policy_target = jax.vmap(mcts.mcts_policy_target)(trees)
+
+        resign = jax.vmap(
+            lambda t, a: mcts.is_resign(spec, t, a, self.cfg.actor_resign_threshold)
+        )(trees, action)
+        root_value = trees.mean[:, 0]
+
+        stepped = jax.vmap(env.step)(states, action)
+        done = jax.vmap(env.is_terminal)(stepped)
+        eval_score = jax.vmap(env.eval_score)(stepped)
+        reward_after = jax.vmap(env.reward)(stepped)
+        resign_score = jax.vmap(env.resign_eval_score)(states)
+
+        return MoveOutput(
+            action=action,
+            policy_target=policy_target,
+            root_value=root_value,
+            reward=reward_after,
+            resign=resign,
+            features=features_u8,
+            states=stepped,
+            done=done,
+            eval_score=eval_score,
+            resign_score=resign_score,
+        )
+
+    def move(self, variables, states, rng, temperature: float = 1.0) -> MoveOutput:
+        return self._move(variables, states, rng, jnp.float32(temperature))

@@ -1,0 +1,101 @@
+"""Host-side trajectory collection.
+
+The device engine advances B games in lock-step; this collector accumulates
+each slot's per-move data and finalises ``GameRecord``s on game end — the role
+the reference's ActorGroup plays when it emits ``SelfPlay ...`` lines on game
+completion (``actor/actor_group.cpp:24-50``, ``handleSearchDone``
+``actor_group.cpp:116-134``), including resign handling (the searched move is
+NOT recorded on resignation) and intermediate-sequence chunking for long
+episodes (``actor_group.cpp:52-64``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from minizero_tpu.learner.replay import GameRecord
+
+
+@dataclass
+class FinishedGame:
+    record: GameRecord
+    players: Tuple[int, ...]
+    slot: int
+
+
+class TrajectoryCollector:
+    def __init__(self, cfg, env_spec, batch_size: int, seed: int = 0):
+        self.cfg = cfg
+        self.spec = env_spec
+        self.batch = batch_size
+        self.rng = np.random.RandomState(seed)
+        self._slots: List[dict] = [self._new_slot() for _ in range(batch_size)]
+        # hard cap so a buggy env can't wedge the loop
+        self.max_moves = max(env_spec.max_game_length, 1) * 2
+
+    def _new_slot(self) -> dict:
+        # per-game resign enablement (reference zero_actor.cpp:23-27)
+        enable_resign = self.rng.rand() >= self.cfg.zero_disable_resign_ratio
+        return {
+            "actions": [],
+            "turns": [],
+            "policy": [],
+            "values": [],
+            "rewards": [],
+            "features": [],
+            "enable_resign": enable_resign,
+        }
+
+    def add_moves(self, out) -> Tuple[List[FinishedGame], np.ndarray]:
+        """Feed one batched MoveOutput (host numpy views); returns finished
+        games and the bool[B] mask of slots to reset."""
+        action = np.asarray(out.action)
+        turn = np.asarray(out.turn)
+        policy = np.asarray(out.policy_target)
+        value = np.asarray(out.root_value)
+        reward = np.asarray(out.reward)
+        resign = np.asarray(out.resign)
+        features = np.asarray(out.features)
+        done = np.asarray(out.done)
+        eval_score = np.asarray(out.eval_score)
+        resign_score = np.asarray(out.resign_score)
+
+        finished: List[FinishedGame] = []
+        reset_mask = np.zeros(self.batch, bool)
+        for i in range(self.batch):
+            slot = self._slots[i]
+            if resign[i] and slot["enable_resign"] and len(slot["actions"]) > 0:
+                # resignation: the searched move is not played/recorded
+                # (reference actor_group.cpp:121-122)
+                finished.append(self._finalize(i, float(resign_score[i])))
+                reset_mask[i] = True
+                continue
+            slot["actions"].append(int(action[i]))
+            slot["turns"].append(int(turn[i]))
+            slot["policy"].append(policy[i].astype(np.float16))
+            slot["values"].append(float(value[i]))
+            slot["rewards"].append(float(reward[i]))
+            slot["features"].append(features[i])
+            if done[i] or len(slot["actions"]) >= self.max_moves:
+                finished.append(self._finalize(i, float(eval_score[i])))
+                reset_mask[i] = True
+        return finished, reset_mask
+
+    def _finalize(self, slot_idx: int, result: float) -> FinishedGame:
+        slot = self._slots[slot_idx]
+        record = GameRecord(
+            actions=np.asarray(slot["actions"], np.int32),
+            policy=np.stack(slot["policy"]) if slot["policy"] else np.zeros((0, self.spec.action_size), np.float16),
+            values=np.asarray(slot["values"], np.float32),
+            rewards=np.asarray(slot["rewards"], np.float32),
+            features=np.stack(slot["features"])
+            if slot["features"]
+            else np.zeros((0, self.spec.input_height, self.spec.input_width, self.spec.num_input_channels), np.uint8),
+            result=result,
+        )
+        players = tuple(slot["turns"])
+        self._slots[slot_idx] = self._new_slot()
+        return FinishedGame(record=record, players=players, slot=slot_idx)

@@ -60,6 +60,7 @@ class MoveOutput(NamedTuple):
     """Per-move results for a batch of games (all device arrays)."""
 
     action: jnp.ndarray  # i32[B]
+    turn: jnp.ndarray  # i32[B] — player who makes this move
     policy_target: jnp.ndarray  # f32[B, A] — P tag
     root_value: jnp.ndarray  # f32[B] — V tag (root mean)
     reward: jnp.ndarray  # f32[B] — R tag (env reward after the move)
@@ -278,6 +279,7 @@ class SelfPlayEngine:
 
         return MoveOutput(
             action=action,
+            turn=turns.astype(jnp.int32),
             policy_target=policy_target,
             root_value=root_value,
             reward=reward_after,

@@ -1,0 +1,201 @@
+"""Zero training loop (single host).
+
+TPU-native replacement for the reference's distributed triangle — TCP
+``ZeroServer`` state machine + self-play workers + optimization worker + NFS
+(``minizero/zero/zero_server.cpp:159-323``): on a TPU host the self-play
+engine and the trainer share the device, so the per-iteration state machine
+
+    for iteration: self-play 2000 games -> train 500 steps -> checkpoint
+
+becomes a plain in-process loop with the same iteration semantics: per-game
+resign disabling, temperature decay schedule (1 / 0.5 / 0.25 over iteration
+thirds, ``zero_server.cpp:301-323``), PER beta annealing, replay window of
+``zero_replay_buffer`` iterations, record files per iteration, and
+``Training.log`` / ``op.log`` lines shaped like the reference's so the
+analysis tooling ports over.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from minizero_tpu.config import Config
+from minizero_tpu.envs import make_env
+from minizero_tpu.learner.replay import ReplayBuffer
+from minizero_tpu.learner.train import TrainState, init_train_state, make_train_step
+from minizero_tpu.models.factory import create_network, init_network
+from minizero_tpu.selfplay.collector import TrajectoryCollector
+from minizero_tpu.selfplay.engine import SelfPlayEngine
+from minizero_tpu.selfplay.record import serialize_game
+
+
+def temperature_for_iteration(cfg: Config, iteration: int) -> float:
+    """1.0 / 0.5 / 0.25 for 0-50% / 50-75% / 75-100% of total iterations
+    (reference zero_server.cpp:301-315)."""
+    t = cfg.actor_select_action_softmax_temperature
+    if not cfg.actor_select_action_softmax_temperature_decay:
+        return t
+    frac = iteration / max(cfg.zero_end_iteration, 1)
+    if frac < 0.5:
+        return t
+    if frac < 0.75:
+        return t * 0.5
+    return t * 0.25
+
+
+class ZeroLoop:
+    def __init__(self, cfg: Config, run_dir: str, selfplay_batch: Optional[int] = None, seed: int = 0):
+        self.cfg = cfg
+        self.run_dir = run_dir
+        os.makedirs(os.path.join(run_dir, "model"), exist_ok=True)
+        os.makedirs(os.path.join(run_dir, "sgf"), exist_ok=True)
+
+        self.env = make_env(cfg)
+        self.network = create_network(cfg, self.env.spec)
+        rng = jax.random.PRNGKey(cfg.program_seed if not cfg.program_auto_seed else int(time.time()))
+        self.rng, init_rng = jax.random.split(rng)
+        variables = init_network(self.network, self.env.spec, init_rng)
+        self.state = init_train_state(cfg, variables)
+
+        self.engine = SelfPlayEngine(self.env, cfg, self.network)
+        self.buffer = ReplayBuffer(cfg, self.env.spec)
+        self.selfplay_batch = selfplay_batch or cfg.zero_num_parallel_games
+        self._train_step = jax.jit(make_train_step(cfg, self.env, self.network), donate_argnums=0)
+        self.np_rng = np.random.RandomState(cfg.program_seed + 1)
+        self.is_muzero = cfg.nn_type_name.lower() != "alphazero"
+        self._log_file = open(os.path.join(run_dir, "Training.log"), "a")
+        self._op_log = open(os.path.join(run_dir, "op.log"), "a")
+
+    # ------------------------------------------------------------------- log
+    def log(self, message: str) -> None:
+        line = f"[{time.strftime('%Y-%m-%d %H:%M:%S')}] {message}"
+        print(line, flush=True)
+        self._log_file.write(line + "\n")
+        self._log_file.flush()
+
+    def op_log(self, message: str) -> None:
+        self._op_log.write(f"[{time.strftime('%Y-%m-%d %H:%M:%S')}] {message}\n")
+        self._op_log.flush()
+
+    # ------------------------------------------------------------- variables
+    @property
+    def variables(self) -> Dict[str, Any]:
+        v = {"params": self.state.params}
+        if self.state.batch_stats:
+            v["batch_stats"] = self.state.batch_stats
+        return v
+
+    # -------------------------------------------------------------- selfplay
+    def self_play_iteration(self, iteration: int) -> Dict[str, float]:
+        cfg = self.cfg
+        temperature = temperature_for_iteration(cfg, iteration)
+        collector = TrajectoryCollector(cfg, self.env.spec, self.selfplay_batch, seed=cfg.program_seed + iteration)
+        states = self.engine.init_batch(self.selfplay_batch)
+        num_games, lengths, returns = 0, [], []
+        record_path = os.path.join(self.run_dir, "sgf", f"{iteration}.sgf")
+        t0 = time.time()
+        with open(record_path, "a") as record_file:
+            while num_games < cfg.zero_num_games_per_iteration:
+                self.rng, k = jax.random.split(self.rng)
+                out = self.engine.move(self.variables, states, k, temperature)
+                finished, reset_mask = collector.add_moves(out)
+                states = self.engine.reset_slots(out.states, reset_mask) if reset_mask.any() else out.states
+                for fg in finished:
+                    self.buffer.add_game(fg.record)
+                    record_file.write(
+                        serialize_game(
+                            self.env.spec.name, fg.record, self.env.spec.board_size, fg.players,
+                            model_file=f"weight_iter_{int(self.state.step)}",
+                        )
+                        + "\n"
+                    )
+                    lengths.append(fg.record.length)
+                    returns.append(fg.record.result)
+                    num_games += 1
+        dt = time.time() - t0
+        stats = {
+            "games": num_games,
+            "time_s": dt,
+            "games_per_sec": num_games / max(dt, 1e-9),
+            "length_avg": float(np.mean(lengths)) if lengths else 0.0,
+            "length_std": float(np.std(lengths)) if lengths else 0.0,
+            "return_avg": float(np.mean(returns)) if returns else 0.0,
+            "return_std": float(np.std(returns)) if returns else 0.0,
+        }
+        # reference-style stats lines (zero_server.cpp:240-263)
+        self.log(
+            f"[Iteration] {iteration}: self-play {num_games} games in {dt:.1f}s "
+            f"({stats['games_per_sec']:.2f} games/s)"
+        )
+        self.log(
+            f"[SelfPlay Game Lengths] min: {min(lengths) if lengths else 0}, max: {max(lengths) if lengths else 0}, "
+            f"avg: {stats['length_avg']:.2f}, std: {stats['length_std']:.2f}"
+        )
+        self.log(
+            f"[SelfPlay Game Returns] min: {min(returns) if returns else 0}, max: {max(returns) if returns else 0}, "
+            f"avg: {stats['return_avg']:.2f}, std: {stats['return_std']:.2f}"
+        )
+        return stats
+
+    # ------------------------------------------------------------ optimizing
+    def optimize_iteration(self, iteration: int) -> Dict[str, float]:
+        cfg = self.cfg
+        totals: Dict[str, float] = {}
+        t0 = time.time()
+        for step in range(1, cfg.learner_training_step + 1):
+            if self.is_muzero:
+                batch = self.buffer.sample_muzero(cfg.learner_batch_size, self.np_rng)
+            else:
+                batch = self.buffer.sample_alphazero(cfg.learner_batch_size, self.np_rng)
+            batch.pop("sampled_index")
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            self.rng, k = jax.random.split(self.rng)
+            self.state, metrics = self._train_step(self.state, batch, k)
+            for key, val in metrics.items():
+                totals[key] = totals.get(key, 0.0) + float(val)
+            if step % cfg.learner_training_display_step == 0:
+                avg = {k: v / cfg.learner_training_display_step for k, v in totals.items()}
+                self.op_log(
+                    f"nn step {int(self.state.step)}, lr: {cfg.learner_learning_rate}. "
+                    + " ".join(f"{k}: {v:.5f}" for k, v in sorted(avg.items()))
+                )
+                totals = {}
+        dt = time.time() - t0
+        self.log(f"[Optimization] iteration {iteration}: {cfg.learner_training_step} steps in {dt:.1f}s")
+        self.log(f"Optimization_Done {int(self.state.step)}")
+        return {"time_s": dt}
+
+    # ------------------------------------------------------------ checkpoint
+    def save_checkpoint(self) -> str:
+        step = int(self.state.step)
+        path = os.path.join(self.run_dir, "model", f"weight_iter_{step}.ckpt")
+        payload = {
+            "training_step": step,
+            "state": serialization.to_bytes(self.state),
+            "config": self.cfg.to_string(),
+        }
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+        return path
+
+    def load_checkpoint(self, path: str) -> None:
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        self.state = serialization.from_bytes(self.state, payload["state"])
+
+    # -------------------------------------------------------------- the loop
+    def run(self) -> None:
+        cfg = self.cfg
+        self.save_checkpoint()  # weight_iter_0 bootstrap (zero-server.sh:113-115)
+        for iteration in range(cfg.zero_start_iteration + 1, cfg.zero_end_iteration + 1):
+            self.self_play_iteration(iteration)
+            self.optimize_iteration(iteration)
+            self.save_checkpoint()

@@ -204,6 +204,27 @@ Config = dataclass(frozen=True)(
 )
 
 
+def algorithm_preset(algorithm: str, is_atari: bool = False) -> Dict[str, Any]:
+    """az / mz / gaz / gmz presets (reference tools/quick-run.sh:331-347)."""
+    algorithm = algorithm.lower()
+    out: Dict[str, Any] = {}
+    if algorithm not in ("az", "mz", "gaz", "gmz"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    out["nn_type_name"] = "alphazero" if algorithm.endswith("az") else "muzero"
+    if algorithm.startswith("g"):
+        n = 18 if is_atari else 16
+        out.update(
+            actor_num_simulation=n,
+            actor_use_dirichlet_noise=False,
+            actor_use_gumbel=True,
+            actor_use_gumbel_noise=True,
+            actor_gumbel_sample_size=n,
+            actor_gumbel_sigma_visit_c=50.0,
+            actor_gumbel_sigma_scale_c=0.1 if is_atari else 1.0,
+        )
+    return out
+
+
 def default_config(env_name: Optional[str] = None, **overrides: Any) -> Config:
     """Build a config with per-env defaults applied (the reference applies
     ``Env::setUpEnv()`` then the conf file, ``docs/Development.md:57-71``)."""

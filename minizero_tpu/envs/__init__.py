@@ -49,6 +49,7 @@ _TABLE: Dict[str, Tuple[str, str, Callable[..., Dict[str, Any]], Dict[str, Any]]
         lambda cfg: {
             "board_size": cfg.env_board_size or 15,
             "exactly_five": cfg.env_gomoku_exactly_five_stones,
+            "rule": cfg.env_gomoku_rule,
         },
         {"env_board_size": 15, "actor_dirichlet_noise_alpha": 0.03},
     ),

@@ -1,16 +1,25 @@
 """Go — fixed-shape vectorised JAX implementation.
 
 TPU-native re-design of the reference's Go env
-(``minizero/environment/go/go.{h,cpp}``): the reference maintains incremental
-pointer-linked blocks/areas with per-move surgery (``go.cpp:132-190``); here
-every query is recomputed from the flat board with data-parallel primitives —
-connected-component labels by iterated min-propagation, block liberties via
-boolean matrix products (which XLA maps onto the MXU), and positional /
-situational superko via a dual-uint32 Zobrist hash history compared in one
-vectorised sweep. The full legality mask for all board points is produced in
-one shot (the reference tests each action separately, ``go.cpp:208-243``) and
-is cached in the state at ``step`` time, so the hot search loop reads it for
-free.
+(``minizero/environment/go/go.{h,cpp}``). The reference maintains incremental
+pointer-linked blocks with per-move surgery on CPU (``go.cpp:132-190``); the
+TPU design keeps the same *incremental* idea but in SIMD form:
+
+  * the state carries per-position block labels and liberty counts; ``step``
+    updates labels with O(1) vector ops (merge = relabel members of the <=4
+    neighbouring own blocks; capture = clear whole labelled blocks) — no
+    propagation loop in the hot path;
+  * per-block aggregates (liberty counts, Zobrist key sums) come from dense
+    one-hot [NN, NN] matmuls that XLA maps onto the MXU — scatters and
+    data-dependent loops are deliberately absent from ``step``;
+  * superko uses an *additive* dual-uint32 Zobrist hash (sum mod 2^32, so
+    captures subtract; key sums split into exact-in-f32 16-bit halves for the
+    matmul) checked against the hash history in one vectorised compare;
+  * the full legality mask for every point is produced in one shot
+    (the reference tests each action separately, ``go.cpp:208-243``) and
+    cached in the state, so the search loop reads it for free;
+  * only terminal scoring runs connected components, via min-label
+    propagation with pointer jumping (O(log NN) unrolled rounds).
 
 Semantics preserved (file:line):
   * legality: empty point with an empty neighbour, a >1-liberty own neighbour
@@ -27,7 +36,7 @@ Semantics preserved (file:line):
 
 from __future__ import annotations
 
-import functools
+import math
 
 import flax.struct
 import jax
@@ -39,22 +48,19 @@ from minizero_tpu.envs.base import Env, EnvSpec
 _HISTORY_PLANES = 8
 
 
-def _xor_reduce(x: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Bitwise-XOR reduction along ``axis`` (Zobrist accumulation)."""
-    return jax.lax.reduce(x, np.uint32(0), jax.lax.bitwise_xor, (axis,))
-
-
 @flax.struct.dataclass
 class GoState:
     board: jnp.ndarray  # i8[NN] 0 empty / 1 black / 2 white
     turn: jnp.ndarray  # i8
     num_moves: jnp.ndarray  # i32
     consecutive_pass: jnp.ndarray  # i8
-    hash_a: jnp.ndarray  # u32
-    hash_b: jnp.ndarray  # u32
-    history_a: jnp.ndarray  # u32[MAXH] post-move hashes (superko table)
-    history_b: jnp.ndarray  # u32[MAXH]
+    hash_a: jnp.ndarray  # i32 (bit pattern of the mod-2^32 additive hash)
+    hash_b: jnp.ndarray  # i32
+    history_a: jnp.ndarray  # i32[MAXH] post-move hashes (superko table)
+    history_b: jnp.ndarray  # i32[MAXH]
     legal: jnp.ndarray  # bool[NN + 1] cached mask for player `turn`
+    labels: jnp.ndarray  # i32[NN] block label per stone (NN for empty)
+    lib_at: jnp.ndarray  # i32[NN] liberties of the stone's block (0 empty)
     board_history: jnp.ndarray  # i8[8, NN] ring: [0] = current board
 
 
@@ -66,6 +72,7 @@ class GoEnv(Env):
         self.komi = float(komi)
         self.situational = ko_rule == "situational"
         self.max_moves = 2 * nn + 1
+        self.cc_rounds = int(math.ceil(math.log2(max(nn, 2)))) + 4
         self.spec = EnvSpec(
             name=f"go_{board_size}x{board_size}",
             num_players=2,
@@ -79,107 +86,125 @@ class GoEnv(Env):
             max_game_length=self.max_moves,
             has_pass=True,
         )
-        # static adjacency [NN, NN]
-        adj = np.zeros((nn, nn), bool)
+        # neighbour index table [NN, 4] (self-padded at borders) + validity
+        nbr = np.tile(np.arange(nn)[:, None], (1, 4))
+        valid = np.zeros((nn, 4), bool)
+        adj = np.zeros((nn, nn), np.float32)
         for p in range(nn):
             r, c = divmod(p, board_size)
-            for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            for j, (dr, dc) in enumerate(((1, 0), (-1, 0), (0, 1), (0, -1))):
                 rr, cc = r + dr, c + dc
                 if 0 <= rr < board_size and 0 <= cc < board_size:
-                    adj[p, rr * board_size + cc] = True
-        self._adj = jnp.asarray(adj)
-        self._adj_f = jnp.asarray(adj, jnp.float32)
-        # deterministic dual Zobrist tables (reference go.cpp:17-44 seeds a
-        # fixed mt19937)
+                    q = rr * board_size + cc
+                    nbr[p, j] = q
+                    valid[p, j] = True
+                    adj[p, q] = 1.0
+        self._nbr = jnp.asarray(nbr, jnp.int32)
+        self._nbr_valid = jnp.asarray(valid)
+        self._adj_f = jnp.asarray(adj)
+        # deterministic additive dual Zobrist tables; 16-bit halves kept as
+        # f32 for exact MXU accumulation (<= NN * 65535 < 2^24)
         rs = np.random.RandomState(20260817)
-        self._grid_key_a = jnp.asarray(rs.randint(0, 2**32, size=(nn, 2), dtype=np.uint64).astype(np.uint32))
-        self._grid_key_b = jnp.asarray(rs.randint(0, 2**32, size=(nn, 2), dtype=np.uint64).astype(np.uint32))
-        turn_keys = rs.randint(0, 2**32, size=(2,), dtype=np.uint64).astype(np.uint32)
-        self._turn_key_a = jnp.uint32(turn_keys[0] if self.situational else 0)
-        self._turn_key_b = jnp.uint32(turn_keys[1] if self.situational else 0)
+        key_a = rs.randint(0, 2**32, size=(nn, 2), dtype=np.uint64).astype(np.uint32)
+        key_b = rs.randint(0, 2**32, size=(nn, 2), dtype=np.uint64).astype(np.uint32)
+        # hashes live as int32 (bit-identical mod-2^32 wraparound, native TPU
+        # integer type)
+        self._grid_key_a = jnp.asarray(key_a.view(np.int32))
+        self._grid_key_b = jnp.asarray(key_b.view(np.int32))
+        # keys split into 8-bit chunks: values <= 255 are exact in bf16, so
+        # the per-block key sums come from ONE default-precision MXU matmul
+        # with f32 accumulation (sums <= NN * 255 < 2^24, exact)
+        chunks = []
+        for stream in (key_a, key_b):  # [NN, 2(colour)]
+            for shift in (0, 8, 16, 24):
+                chunks.append(((stream >> shift) & 0xFF).astype(np.float32))
+        self._key_chunks = jnp.asarray(np.stack(chunks, axis=-1))  # [NN, 2, 8]
+        turn_keys = rs.randint(0, 2**32, size=(2,), dtype=np.uint64).astype(np.uint32).view(np.int32)
+        self._turn_key_a = jnp.int32(turn_keys[0] if self.situational else 0)
+        self._turn_key_b = jnp.int32(turn_keys[1] if self.situational else 0)
 
     # ------------------------------------------------------------ primitives
-    def _labels(self, board: jnp.ndarray) -> jnp.ndarray:
-        """i32[NN] connected-component labels (min position index per block;
-        NN for empty points). Iterated min-propagation over same-colour
-        neighbours — the vectorised replacement for the reference's
-        incremental block merging (go.cpp:157-178)."""
+    def _cc_labels(self, active: jnp.ndarray, connected: jnp.ndarray) -> jnp.ndarray:
+        """i32[NN] connected-component labels (min member index; NN outside
+        ``active``). ``connected``: bool[NN, 4] edge mask. Min-propagation +
+        pointer jumping, unrolled O(log NN) rounds."""
         nn = self.nn
-        occupied = board > 0
         idx = jnp.arange(nn, dtype=jnp.int32)
-        labels0 = jnp.where(occupied, idx, nn)
-        same = (board[:, None] == board[None, :]) & self._adj  # [NN, NN]
-
-        def cond(carry):
-            labels, changed = carry
-            return changed
-
-        def body(carry):
-            labels, _ = carry
-            nbr_min = jnp.min(jnp.where(same, labels[None, :], nn), axis=1)
-            new = jnp.where(occupied, jnp.minimum(labels, nbr_min), nn)
-            return (new, jnp.any(new != labels))
-
-        labels, _ = jax.lax.while_loop(cond, body, (labels0, jnp.bool_(True)))
+        labels = jnp.where(active, idx, nn)
+        for _ in range(self.cc_rounds):
+            nbr_lab = jnp.where(connected, labels[self._nbr], nn)
+            l = jnp.minimum(labels, jnp.min(nbr_lab, axis=1))
+            l = jnp.minimum(l, l[jnp.clip(l, 0, nn - 1)])  # pointer jump
+            labels = jnp.where(active, l, nn)
         return labels
 
-    def _block_info(self, board: jnp.ndarray):
-        """(labels i32[NN], lib_at i32[NN]): per-position block label and that
-        block's liberty count (0 for empty points)."""
-        nn = self.nn
-        labels = self._labels(board)
-        empty = board == 0
-        onehot = (labels[None, :] == jnp.arange(nn, dtype=jnp.int32)[:, None]) & (board > 0)[None, :]
-        # block b's liberties: empty points adjacent to any member stone
-        member_f = onehot.astype(jnp.float32)  # [B(labels), P]
-        adjacent = jnp.dot(member_f, self._adj_f, preferred_element_type=jnp.float32) > 0  # [B, P]
-        lib_count = jnp.sum((adjacent & empty[None, :]).astype(jnp.int32), axis=1)  # [B]
-        lib_at = jnp.where(board > 0, lib_count[jnp.clip(labels, 0, nn - 1)], 0)
-        return labels, lib_at
+    def _stone_labels(self, board: jnp.ndarray) -> jnp.ndarray:
+        """From-scratch block labels (init / replay paths; ``step`` keeps
+        labels incrementally)."""
+        active = board > 0
+        connected = (board[self._nbr] == board[:, None]) & self._nbr_valid & active[:, None]
+        return self._cc_labels(active, connected)
 
-    def _block_hashes(self, board: jnp.ndarray, labels: jnp.ndarray):
-        """Per-label XOR of member stones' grid keys (the reference keeps this
-        incrementally per block, go_block.h)."""
+    def _block_aggregates(self, board: jnp.ndarray, labels: jnp.ndarray):
+        """Dense per-block aggregates via one-hot matmuls:
+        (lib_at i32[NN], onehot f32[NN, NN], block_chunks f32[NN, 8])."""
         nn = self.nn
-        colour_idx = jnp.clip(board.astype(jnp.int32) - 1, 0, 1)
-        key_a = jnp.where(board > 0, self._grid_key_a[jnp.arange(nn), colour_idx], np.uint32(0))
-        key_b = jnp.where(board > 0, self._grid_key_b[jnp.arange(nn), colour_idx], np.uint32(0))
-        member = (labels[None, :] == jnp.arange(nn, dtype=jnp.int32)[:, None]) & (board > 0)[None, :]
-        block_a = _xor_reduce(jnp.where(member, key_a[None, :], np.uint32(0)), 1)
-        block_b = _xor_reduce(jnp.where(member, key_b[None, :], np.uint32(0)), 1)
-        return block_a, block_b
+        occupied = board > 0
+        empty_f = (board == 0).astype(jnp.float32)
+        onehot = (
+            (labels[None, :] == jnp.arange(nn, dtype=jnp.int32)[:, None]) & occupied[None, :]
+        ).astype(jnp.float32)  # [B(labels), P]
+        # block liberty counts: #empty points adjacent to any member
+        reach = jnp.dot(onehot, self._adj_f, preferred_element_type=jnp.float32)  # [B, P]
+        lib_count = jnp.sum(jnp.where(reach > 0, empty_f[None, :], 0.0), axis=1)  # [B]
+        lib_pad = jnp.concatenate([lib_count, jnp.zeros((1,))])
+        lib_at = jnp.where(occupied, lib_pad[jnp.clip(labels, 0, nn)], 0.0).astype(jnp.int32)
+        # block Zobrist key-chunk sums (one MXU matmul; 8-bit chunks keep the
+        # bf16 inputs exact, f32 accumulation exact below 2^24)
+        colour = jnp.clip(board.astype(jnp.int32) - 1, 0, 1)
+        pos = jnp.arange(nn)
+        chunks = jnp.where(occupied[:, None], self._key_chunks[pos, colour], 0.0)  # [P, 8]
+        block_chunks = jnp.dot(onehot, chunks, preferred_element_type=jnp.float32)  # [B, 8]
+        return lib_at, onehot, block_chunks
 
-    def _legal_mask_for(self, state_board, turn, hash_a, hash_b, history_a, history_b, num_moves):
+    def _legal_mask_for(self, board, labels, lib_at, onehot, block_chunks, turn,
+                        hash_a, hash_b, history_a, history_b, num_moves):
         """bool[NN + 1] legality for ``turn`` (reference go.cpp:208-243)."""
         nn = self.nn
-        board = state_board
-        labels, lib_at = self._block_info(board)
         empty = board == 0
         opp = (3 - turn).astype(board.dtype)
-
-        nbr_empty = jnp.dot(self._adj_f, empty.astype(jnp.float32), preferred_element_type=jnp.float32) > 0
-        own_safe = (board == turn) & (lib_at > 1)
-        has_own_safe = jnp.dot(self._adj_f, own_safe.astype(jnp.float32), preferred_element_type=jnp.float32) > 0
-        capturable = (board == opp) & (lib_at == 1)
-        has_capture = jnp.dot(self._adj_f, capturable.astype(jnp.float32), preferred_element_type=jnp.float32) > 0
-        legal_basic = empty & (nbr_empty | has_own_safe | has_capture)
-
-        # superko: hash after the candidate move
-        block_a, block_b = self._block_hashes(board, labels)
-        label_onehot = (labels[None, :] == jnp.arange(nn, dtype=jnp.int32)[:, None])  # [B, P]
-        cap_member = label_onehot & capturable[None, :]
-        # cap_blocks[p, b]: candidate p captures block b
-        cap_blocks = (
-            jnp.dot(self._adj_f, cap_member.astype(jnp.float32).T, preferred_element_type=jnp.float32) > 0
-        )  # [P, B]
-        cap_hash_a = _xor_reduce(jnp.where(cap_blocks, block_a[None, :], np.uint32(0)), 1)
-        cap_hash_b = _xor_reduce(jnp.where(cap_blocks, block_b[None, :], np.uint32(0)), 1)
         t = jnp.clip(turn.astype(jnp.int32) - 1, 0, 1)
-        new_a = hash_a ^ self._turn_key_a ^ self._grid_key_a[jnp.arange(nn), t] ^ cap_hash_a
-        new_b = hash_b ^ self._turn_key_b ^ self._grid_key_b[jnp.arange(nn), t] ^ cap_hash_b
-        valid = jnp.arange(history_a.shape[0]) < num_moves
+
+        nbr_board = board[self._nbr]  # [NN, 4]
+        nbr_lib = lib_at[self._nbr]
+        v = self._nbr_valid
+        nbr_empty = jnp.any(v & (nbr_board == 0), axis=1)
+        own_safe = jnp.any(v & (nbr_board == turn) & (nbr_lib > 1), axis=1)
+        nbr_capturable = v & (nbr_board == opp) & (nbr_lib == 1)
+        has_capture = jnp.any(nbr_capturable, axis=1)
+        legal_basic = empty & (nbr_empty | own_safe | has_capture)
+
+        # superko: candidate hash = hash + turn + stone key - captured block
+        # key sums. capB[p, b] = "p captures block b" from one adjacency
+        # matmul (block-level dedup falls out of the >0 threshold), then the
+        # per-candidate key sums from a second small matmul over the exact
+        # f32 sums (at most 4 blocks x < 2^15 per chunk -> exact).
+        capturable_stone = (board == opp) & (lib_at == 1)
+        member_cap = onehot * capturable_stone[None, :].astype(jnp.float32)  # [B, P]
+        capB = jnp.dot(self._adj_f, member_cap.T, preferred_element_type=jnp.float32) > 0  # [P, B]
+        cap_chunks = jnp.dot(
+            capB.astype(jnp.float32), block_chunks,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # [P, 8]
+        cap_a = cap_chunks[:, 0] + (cap_chunks[:, 1] << 8) + (cap_chunks[:, 2] << 16) + (cap_chunks[:, 3] << 24)
+        cap_b = cap_chunks[:, 4] + (cap_chunks[:, 5] << 8) + (cap_chunks[:, 6] << 16) + (cap_chunks[:, 7] << 24)
+        pos = jnp.arange(nn)
+        new_a = hash_a + self._turn_key_a + self._grid_key_a[pos, t] - cap_a
+        new_b = hash_b + self._turn_key_b + self._grid_key_b[pos, t] - cap_b
+        valid_h = jnp.arange(history_a.shape[0]) < num_moves
         repeat = jnp.any(
-            (history_a[None, :] == new_a[:, None]) & (history_b[None, :] == new_b[:, None]) & valid[None, :],
+            (history_a[None, :] == new_a[:, None]) & (history_b[None, :] == new_b[:, None]) & valid_h[None, :],
             axis=1,
         )
         board_legal = legal_basic & ~repeat
@@ -193,48 +218,62 @@ class GoEnv(Env):
             turn=jnp.int8(1),
             num_moves=jnp.int32(0),
             consecutive_pass=jnp.int8(0),
-            hash_a=jnp.uint32(0),
-            hash_b=jnp.uint32(0),
-            history_a=jnp.zeros((self.max_moves + 1,), jnp.uint32),
-            history_b=jnp.zeros((self.max_moves + 1,), jnp.uint32),
-            legal=jnp.concatenate([jnp.ones((nn,), bool), jnp.ones((1,), bool)]),
+            hash_a=jnp.int32(0),
+            hash_b=jnp.int32(0),
+            history_a=jnp.zeros((self.max_moves + 1,), jnp.int32),
+            history_b=jnp.zeros((self.max_moves + 1,), jnp.int32),
+            legal=jnp.ones((nn + 1,), bool),
+            labels=jnp.full((nn,), nn, jnp.int32),
+            lib_at=jnp.zeros((nn,), jnp.int32),
             board_history=jnp.zeros((_HISTORY_PLANES, nn), jnp.int8),
         )
 
     def step(self, state: GoState, action: jnp.ndarray) -> GoState:
-        """Apply a legal action (reference GoEnv::act, go.cpp:132-190)."""
+        """Apply a legal action (reference GoEnv::act, go.cpp:132-190) with
+        incremental label maintenance — no propagation loop."""
         nn = self.nn
         is_pass = action >= nn
         pos = jnp.clip(action, 0, nn - 1)
         turn = state.turn
         t = jnp.clip(turn.astype(jnp.int32) - 1, 0, 1)
         opp = (3 - turn).astype(state.board.dtype)
+        labels, lib_at = state.labels, state.lib_at
 
-        labels, lib_at = self._block_info(state.board)
-        # captured blocks: opponent neighbours of pos with exactly 1 liberty
-        capturable = (state.board == opp) & (lib_at == 1)
-        nbr_of_pos = self._adj[pos]
-        captured_seed = nbr_of_pos & capturable
-        # expand to whole blocks via labels
-        seed_labels = jnp.where(captured_seed, labels, nn)
-        is_captured_block = jnp.zeros((nn + 1,), bool).at[seed_labels].max(captured_seed)
-        captured_stone = is_captured_block[jnp.clip(labels, 0, nn)] & (state.board > 0)
-        captured_stone = captured_stone & ~is_pass
+        # captured blocks: distinct opponent neighbours of pos with 1 liberty
+        nbr_pos = self._nbr[pos]  # [4]
+        nbr_pos_valid = self._nbr_valid[pos]
+        nbr_cap = nbr_pos_valid & (state.board[nbr_pos] == opp) & (lib_at[nbr_pos] == 1) & ~is_pass
+        cap_labels = jnp.where(nbr_cap, labels[nbr_pos], nn)  # [4]
+        captured_stone = jnp.any(labels[:, None] == cap_labels[None, :], axis=1) & (state.board > 0)
 
         new_board = jnp.where(captured_stone, jnp.int8(0), state.board)
         new_board = jnp.where(is_pass, new_board, new_board.at[pos].set(turn))
 
-        # hash update (go.cpp:141-155, 168-175)
-        cap_key_a = _xor_reduce(
-            jnp.where(captured_stone, self._grid_key_a[jnp.arange(nn), 1 - t], np.uint32(0)), 0
+        # incremental label update: merge own neighbour blocks with the new
+        # stone (min label), clear captured blocks
+        own_nbr = nbr_pos_valid & (state.board[nbr_pos] == turn)
+        own_labels = jnp.where(own_nbr, labels[nbr_pos], nn)  # [4]
+        merged = jnp.minimum(jnp.min(own_labels), pos)
+        member_merged = jnp.any(labels[:, None] == own_labels[None, :], axis=1) & (state.board == turn)
+        new_labels = jnp.where(captured_stone, nn, labels)
+        new_labels = jnp.where(member_merged & ~captured_stone, merged, new_labels)
+        new_labels = new_labels.at[pos].set(jnp.where(is_pass, new_labels[pos], merged))
+        new_labels = jnp.where(is_pass, labels, new_labels)
+
+        # additive hash update (go.cpp:141-155, 168-175)
+        colour_opp = 1 - t
+        cap_key_a = jnp.sum(
+            jnp.where(captured_stone, self._grid_key_a[jnp.arange(nn), colour_opp], 0),
+            dtype=jnp.int32,
         )
-        cap_key_b = _xor_reduce(
-            jnp.where(captured_stone, self._grid_key_b[jnp.arange(nn), 1 - t], np.uint32(0)), 0
+        cap_key_b = jnp.sum(
+            jnp.where(captured_stone, self._grid_key_b[jnp.arange(nn), colour_opp], 0),
+            dtype=jnp.int32,
         )
-        stone_a = jnp.where(is_pass, np.uint32(0), self._grid_key_a[pos, t])
-        stone_b = jnp.where(is_pass, np.uint32(0), self._grid_key_b[pos, t])
-        new_hash_a = state.hash_a ^ self._turn_key_a ^ stone_a ^ jnp.where(is_pass, np.uint32(0), cap_key_a)
-        new_hash_b = state.hash_b ^ self._turn_key_b ^ stone_b ^ jnp.where(is_pass, np.uint32(0), cap_key_b)
+        stone_a = jnp.where(is_pass, 0, self._grid_key_a[pos, t])
+        stone_b = jnp.where(is_pass, 0, self._grid_key_b[pos, t])
+        new_hash_a = state.hash_a + self._turn_key_a + stone_a - cap_key_a
+        new_hash_b = state.hash_b + self._turn_key_b + stone_b - cap_key_b
 
         hist_idx = jnp.clip(state.num_moves, 0, self.max_moves)
         history_a = state.history_a.at[hist_idx].set(new_hash_a)
@@ -245,8 +284,10 @@ class GoEnv(Env):
         consecutive_pass = jnp.where(is_pass, state.consecutive_pass + 1, 0).astype(jnp.int8)
         board_history = jnp.concatenate([new_board[None], state.board_history[:-1]], axis=0)
 
+        new_lib_at, onehot, block_chunks = self._block_aggregates(new_board, new_labels)
         legal = self._legal_mask_for(
-            new_board, new_turn, new_hash_a, new_hash_b, history_a, history_b, num_moves
+            new_board, new_labels, new_lib_at, onehot, block_chunks, new_turn,
+            new_hash_a, new_hash_b, history_a, history_b, num_moves,
         )
         return GoState(
             board=new_board,
@@ -258,6 +299,8 @@ class GoEnv(Env):
             history_a=history_a,
             history_b=history_b,
             legal=legal,
+            labels=new_labels,
+            lib_at=new_lib_at,
             board_history=board_history,
         )
 
@@ -268,34 +311,30 @@ class GoEnv(Env):
         return (state.consecutive_pass >= 2) | (state.num_moves > 2 * self.nn)
 
     def eval_score(self, state: GoState) -> jnp.ndarray:
-        """Tromp-Taylor result (reference go.cpp:259-277, 703-723)."""
+        """Tromp-Taylor result (reference go.cpp:259-277, 703-723): empty
+        regions by CC labels, per-region boundary colours via one-hot
+        matmul."""
         nn = self.nn
         board = state.board
         empty = board == 0
-        touch_b0 = jnp.dot(self._adj_f, (board == 1).astype(jnp.float32), preferred_element_type=jnp.float32) > 0
-        touch_w0 = jnp.dot(self._adj_f, (board == 2).astype(jnp.float32), preferred_element_type=jnp.float32) > 0
-        touch_b0 = touch_b0 & empty
-        touch_w0 = touch_w0 & empty
-        empty_adj = self._adj & empty[:, None] & empty[None, :]
-        empty_adj_f = empty_adj.astype(jnp.float32)
+        connected = empty[self._nbr] & self._nbr_valid & empty[:, None]
+        labels = self._cc_labels(empty, connected)
 
-        def cond(carry):
-            tb, tw, changed = carry
-            return changed
-
-        def body(carry):
-            tb, tw, _ = carry
-            nb = (jnp.dot(empty_adj_f, tb.astype(jnp.float32), preferred_element_type=jnp.float32) > 0) | tb
-            nw = (jnp.dot(empty_adj_f, tw.astype(jnp.float32), preferred_element_type=jnp.float32) > 0) | tw
-            nb = nb & empty
-            nw = nw & empty
-            return (nb, nw, jnp.any((nb != tb) | (nw != tw)))
-
-        touch_b, touch_w, _ = jax.lax.while_loop(cond, body, (touch_b0, touch_w0, jnp.bool_(True)))
-        # region with no white boundary -> black (matches reference order of
-        # checks, go.cpp:713-717, including the empty-board quirk)
-        black_area = empty & ~touch_w
-        white_area = empty & touch_w & ~touch_b
+        nbr_board = board[self._nbr]
+        touch_b0 = (empty & jnp.any(self._nbr_valid & (nbr_board == 1), axis=1)).astype(jnp.float32)
+        touch_w0 = (empty & jnp.any(self._nbr_valid & (nbr_board == 2), axis=1)).astype(jnp.float32)
+        onehot = (
+            (labels[None, :] == jnp.arange(nn, dtype=jnp.int32)[:, None]) & empty[None, :]
+        ).astype(jnp.float32)  # [R(labels), P]
+        region_b = jnp.dot(onehot, touch_b0, preferred_element_type=jnp.float32) > 0  # [R]
+        region_w = jnp.dot(onehot, touch_w0, preferred_element_type=jnp.float32) > 0
+        region_b = jnp.concatenate([region_b, jnp.zeros((1,), bool)])
+        region_w = jnp.concatenate([region_w, jnp.zeros((1,), bool)])
+        lab_clip = jnp.clip(labels, 0, nn)
+        # region with no white boundary -> black (reference check order
+        # go.cpp:713-717, including the empty-board quirk)
+        black_area = empty & ~region_w[lab_clip]
+        white_area = empty & region_w[lab_clip] & ~region_b[lab_clip]
         black = jnp.sum((board == 1).astype(jnp.float32)) + jnp.sum(black_area.astype(jnp.float32))
         white = jnp.sum((board == 2).astype(jnp.float32)) + jnp.sum(white_area.astype(jnp.float32)) + self.komi
         return jnp.where(black > white, 1.0, jnp.where(black < white, -1.0, 0.0)).astype(jnp.float32)

@@ -76,7 +76,7 @@ class SelfPlayEngine:
     """Batched self-play over one device (multi-host sharding layered on top,
     SURVEY.md §7 stage 8)."""
 
-    def __init__(self, env: Env, cfg: Config, network, eval_mode: bool = False):
+    def __init__(self, env: Env, cfg: Config, network, eval_mode: bool = False, use_bf16: bool = True):
         self.env = env
         self.cfg = cfg
         self.network = network
@@ -85,6 +85,9 @@ class SelfPlayEngine:
         self.use_rotation = (
             cfg.actor_use_random_rotation_features and not self.is_muzero and env.num_rotations() > 1
         )
+        # bfloat16 inference: self-play forwards run the convs on the MXU in
+        # bf16 (weights + activations); tree statistics stay float32
+        self.compute_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
         self._move = jax.jit(self._move_impl)
         self._reset_slots = jax.jit(self._reset_slots_impl)
         self._init_batch = jax.jit(self._init_batch_impl, static_argnums=0)
@@ -107,14 +110,21 @@ class SelfPlayEngine:
         return self._reset_slots(states, jnp.asarray(mask))
 
     # ------------------------------------------------------------- inference
+    def _cast_variables(self, variables):
+        dt = self.compute_dtype
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dt) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, variables
+        )
+
     def _forward_features(self, variables, feats, rngs_rot):
         """AlphaZero net forward with optional random feature rotation
         (reference zero_actor.cpp:54-57, 222-223)."""
         if self.use_rotation:
             rots = jax.vmap(lambda k: jax.random.randint(k, (), 0, self.env.num_rotations()))(rngs_rot)
             feats = jax.vmap(lambda f, r: self.env.rotate_features(f, r))(feats, rots)
-        out = self.network.apply(variables, feats, train=False)
-        policy, logits = out["policy"], out["policy_logit"]
+        out = self.network.apply(variables, feats.astype(self.compute_dtype), train=False)
+        policy = out["policy"].astype(jnp.float32)
+        logits = out["policy_logit"].astype(jnp.float32)
         if self.use_rotation:
             policy = jax.vmap(lambda p, r: self.env.rotate_policy_back(p, r))(policy, rots)
             logits = jax.vmap(lambda p, r: self.env.rotate_policy_back(p, r))(logits, rots)
@@ -123,12 +133,12 @@ class SelfPlayEngine:
 
     def _scalar_value(self, out) -> jnp.ndarray:
         if self.env.spec.discrete_value_size > 1:
-            return from_discrete_value(out["value"])
-        return out["value"][:, 0]
+            return from_discrete_value(out["value"].astype(jnp.float32))
+        return out["value"][:, 0].astype(jnp.float32)
 
     def _scalar_reward(self, out) -> jnp.ndarray:
         if "reward" in out:
-            return from_discrete_value(out["reward"])
+            return from_discrete_value(out["reward"].astype(jnp.float32))
         return jnp.zeros(out["policy"].shape[0], jnp.float32)
 
     # ---------------------------------------------------------------- search
@@ -141,11 +151,16 @@ class SelfPlayEngine:
             else feats.astype(jnp.uint8)
 
         rng, k_rot, k_noise = jax.random.split(rng, 3)
+        variables = self._cast_variables(variables)
 
         # ---- root evaluation (simulation 0; reference zero_actor.cpp:51-72)
         if self.is_muzero:
-            out = self.network.apply(variables, feats, train=False, method=self.network.initial_inference)
-            policy, logits = out["policy"], out["policy_logit"]
+            out = self.network.apply(
+                variables, feats.astype(self.compute_dtype), train=False,
+                method=self.network.initial_inference,
+            )
+            policy = out["policy"].astype(jnp.float32)
+            logits = out["policy_logit"].astype(jnp.float32)
             value = self._scalar_value(out)
             root_embedding = out["hidden_state"]
         else:
@@ -188,12 +203,13 @@ class SelfPlayEngine:
             )
 
             if self.is_muzero:
-                action_planes = jax.vmap(env.action_features)(sel.action)
+                action_planes = jax.vmap(env.action_features)(sel.action).astype(self.compute_dtype)
                 out = self.network.apply(
                     variables, parent_embedding, action_planes, train=False,
                     method=self.network.recurrent_inference,
                 )
-                policy, logits = out["policy"], out["policy_logit"]
+                policy = out["policy"].astype(jnp.float32)
+                logits = out["policy_logit"].astype(jnp.float32)
                 value = self._scalar_value(out)
                 reward = self._scalar_reward(out)
                 leaf_embedding = out["hidden_state"]
@@ -212,8 +228,16 @@ class SelfPlayEngine:
                     variables, leaf_feats, jax.random.split(k_rot, batch)
                 )
                 # terminal leaves back up the true outcome instead of the net
-                # value (reference zero_actor.cpp:79-86)
-                value = jnp.where(leaf_terminal, jax.vmap(env.eval_score)(leaf_states), net_value)
+                # value (reference zero_actor.cpp:79-86); scoring (the most
+                # expensive env query) runs only when some lane actually
+                # reached a terminal state
+                scores = jax.lax.cond(
+                    jnp.any(leaf_terminal),
+                    lambda s: jax.vmap(env.eval_score)(s),
+                    lambda s: jnp.zeros((batch,), jnp.float32),
+                    leaf_states,
+                )
+                value = jnp.where(leaf_terminal, scores, net_value)
                 reward = jax.vmap(env.reward)(leaf_states)
                 leaf_embedding = leaf_states
                 leaf_legal = jax.vmap(env.legal_mask)(leaf_states)

@@ -219,3 +219,43 @@ def test_go_features_shape_and_history():
     assert f[:, :, 0].sum() == 0
     assert f[2, 2, 1] == 1
     assert (f[:, :, 17] == 1).all()
+
+
+def test_cc_rounds_sufficient_for_spiral():
+    """Worst-case connected component: a spiral corridor of graph-distance
+    ~NN must still be labelled in the fixed unrolled rounds."""
+    n = 9
+    env = GoEnv(board_size=n)
+    # build a spiral path over the board
+    grid = np.full((n, n), -1)
+    r = c = 0
+    dr, dc = 0, 1
+    order = []
+    for i in range(n * n):
+        grid[r, c] = i
+        order.append(r * n + c)
+        nr, nc = r + dr, c + dc
+        if not (0 <= nr < n and 0 <= nc < n and grid[nr, nc] == -1):
+            dr, dc = dc, -dr
+            nr, nc = r + dr, c + dc
+        r, c = nr, nc
+    # the full board as one giant block (diameter ~2n)
+    board = jnp.ones((n * n,), jnp.int8)
+    labels = env._stone_labels(board)
+    assert int(np.asarray(labels).max()) == 0  # single component, label 0
+
+    # worst case: black stones forming a 1-wide snake along the spiral order
+    # (graph diameter ~NN) — alternate cells empty so the snake is the spiral
+    snake = np.zeros((n * n,), np.int8)
+    snake[np.asarray(order)] = 1  # full board again, via spiral order
+    # 1-wide comb corridor of empty cells (diameter ~NN/2) between stones
+    comb = np.zeros((n, n), np.int8)
+    comb[:, ::2] = 1
+    comb[0, :] = 0  # connect corridors along the top row
+    board2 = jnp.asarray(comb).reshape(-1).astype(jnp.int8)
+    empty = np.asarray(board2) == 0
+    connected = np.asarray(env._nbr_valid) & empty[np.asarray(env._nbr)] & empty[:, None]
+    labels2 = env._cc_labels(jnp.asarray(empty), jnp.asarray(connected))
+    l = np.asarray(labels2)
+    emp = np.nonzero(empty)[0]
+    assert len(set(l[emp])) == 1  # the comb corridor is one region

@@ -68,7 +68,7 @@ _TABLE: Dict[str, Tuple[str, str, Callable[..., Dict[str, Any]], Dict[str, Any]]
     "killallgo": (
         "minizero_tpu.envs.killallgo",
         "KillAllGoEnv",
-        lambda cfg: {"board_size": cfg.env_board_size or 7},
+        lambda cfg: {"board_size": cfg.env_board_size or 7, "use_seki": cfg.env_killallgo_use_seki},
         {"env_board_size": 7, "actor_dirichlet_noise_alpha": 0.03},
     ),
     "clobber": (

@@ -74,8 +74,8 @@ _TABLE: Dict[str, Tuple[str, str, Callable[..., Dict[str, Any]], Dict[str, Any]]
     "clobber": (
         "minizero_tpu.envs.clobber",
         "ClobberEnv",
-        lambda cfg: {"board_size": cfg.env_board_size or 8},
-        {"env_board_size": 8, "actor_dirichlet_noise_alpha": 0.03},
+        lambda cfg: {"board_size": cfg.env_board_size or 10},
+        {"env_board_size": 10, "actor_dirichlet_noise_alpha": 0.03},
     ),
     "breakthrough": (
         "minizero_tpu.envs.breakthrough",

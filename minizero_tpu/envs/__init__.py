@@ -83,6 +83,12 @@ _TABLE: Dict[str, Tuple[str, str, Callable[..., Dict[str, Any]], Dict[str, Any]]
         lambda cfg: {"board_size": cfg.env_board_size or 8},
         {"env_board_size": 8, "actor_dirichlet_noise_alpha": 0.03},
     ),
+    "linesofaction": (
+        "minizero_tpu.envs.linesofaction",
+        "LinesOfActionEnv",
+        lambda cfg: {"board_size": cfg.env_board_size or 8},
+        {"env_board_size": 8, "actor_dirichlet_noise_alpha": 0.03},
+    ),
     "atari": (
         "minizero_tpu.envs.atari",
         "AtariEnv",

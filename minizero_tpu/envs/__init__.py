@@ -83,6 +83,27 @@ _TABLE: Dict[str, Tuple[str, str, Callable[..., Dict[str, Any]], Dict[str, Any]]
         lambda cfg: {"board_size": cfg.env_board_size or 8},
         {"env_board_size": 8, "actor_dirichlet_noise_alpha": 0.03},
     ),
+    "amazons": (
+        "minizero_tpu.envs.amazons",
+        "AmazonsEnv",
+        lambda cfg: {"board_size": cfg.env_board_size or 10},
+        {"env_board_size": 10, "actor_dirichlet_noise_alpha": 0.03},
+    ),
+    "santorini": (
+        "minizero_tpu.envs.santorini",
+        "SantoriniEnv",
+        lambda cfg: {},
+        {"env_board_size": 5, "actor_dirichlet_noise_alpha": 0.03},
+    ),
+    "surakarta": (
+        "minizero_tpu.envs.surakarta",
+        "SurakartaEnv",
+        lambda cfg: {
+            "board_size": cfg.env_board_size or 6,
+            "no_capture_plies": cfg.env_surakarta_no_capture_plies,
+        },
+        {"env_board_size": 6, "actor_dirichlet_noise_alpha": 0.03},
+    ),
     "linesofaction": (
         "minizero_tpu.envs.linesofaction",
         "LinesOfActionEnv",

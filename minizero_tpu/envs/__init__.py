@@ -83,6 +83,21 @@ _TABLE: Dict[str, Tuple[str, str, Callable[..., Dict[str, Any]], Dict[str, Any]]
         lambda cfg: {"board_size": cfg.env_board_size or 8},
         {"env_board_size": 8, "actor_dirichlet_noise_alpha": 0.03},
     ),
+    "havannah": (
+        "minizero_tpu.envs.havannah",
+        "HavannahEnv",
+        lambda cfg: {
+            "board_size": cfg.env_board_size or 8,
+            "use_swap_rule": cfg.env_havannah_use_swap_rule,
+        },
+        {"env_board_size": 8, "actor_dirichlet_noise_alpha": 0.03},
+    ),
+    "conhex": (
+        "minizero_tpu.envs.conhex",
+        "ConHexEnv",
+        lambda cfg: {"use_swap_rule": cfg.env_conhex_use_swap_rule},
+        {"env_board_size": 9, "actor_dirichlet_noise_alpha": 0.03},
+    ),
     "amazons": (
         "minizero_tpu.envs.amazons",
         "AmazonsEnv",

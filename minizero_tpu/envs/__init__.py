@@ -125,6 +125,15 @@ _TABLE: Dict[str, Tuple[str, str, Callable[..., Dict[str, Any]], Dict[str, Any]]
         lambda cfg: {"board_size": cfg.env_board_size or 8},
         {"env_board_size": 8, "actor_dirichlet_noise_alpha": 0.03},
     ),
+    "rubiks": (
+        "minizero_tpu.envs.rubiks",
+        "RubiksEnv",
+        lambda cfg: {
+            "board_size": cfg.env_board_size or 3,
+            "scramble": cfg.env_rubiks_scramble_rotate,
+        },
+        {"env_board_size": 3, "actor_dirichlet_noise_alpha": 0.03},
+    ),
     "atari": (
         "minizero_tpu.envs.atari",
         "AtariEnv",

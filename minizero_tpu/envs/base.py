@@ -62,6 +62,12 @@ class Env:
         """Initial state pytree for one game."""
         raise NotImplementedError
 
+    def init_random(self, rng: Any) -> Any:
+        """Initial state with per-episode randomness (scrambles, seeds).
+        Deterministic envs ignore ``rng`` (reference: RubiksEnv::reset draws
+        a random scramble, rubiks.cpp:14-37; AtariEnv seeds ALE)."""
+        return self.init()
+
     def step(self, state: Any, action: jnp.ndarray) -> Any:
         """Apply ``action`` (int32 action id) for the player to move.
 

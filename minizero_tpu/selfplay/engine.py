@@ -93,21 +93,25 @@ class SelfPlayEngine:
         self._init_batch = jax.jit(self._init_batch_impl, static_argnums=0)
 
     # ------------------------------------------------------------- env batch
-    def _init_batch_impl(self, batch_size: int):
-        state = self.env.init()
-        return jax.tree_util.tree_map(lambda x: jnp.stack([x] * batch_size), state)
+    def _init_batch_impl(self, batch_size: int, rng):
+        return jax.vmap(self.env.init_random)(jax.random.split(rng, batch_size))
 
-    def init_batch(self, batch_size: int):
-        return self._init_batch(batch_size)
+    def init_batch(self, batch_size: int, rng=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return self._init_batch(batch_size, rng)
 
-    def _reset_slots_impl(self, states, mask):
-        fresh = self.env.init()
+    def _reset_slots_impl(self, states, mask, rng):
+        batch = mask.shape[0]
+        fresh = jax.vmap(self.env.init_random)(jax.random.split(rng, batch))
         return jax.tree_util.tree_map(
-            lambda s, f: jnp.where(mask.reshape((-1,) + (1,) * (s.ndim - 1)), f[None], s), states, fresh
+            lambda s, f: jnp.where(mask.reshape((-1,) + (1,) * (s.ndim - 1)), f, s), states, fresh
         )
 
-    def reset_slots(self, states, mask):
-        return self._reset_slots(states, jnp.asarray(mask))
+    def reset_slots(self, states, mask, rng=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(1)
+        return self._reset_slots(states, jnp.asarray(mask), rng)
 
     # ------------------------------------------------------------- inference
     def _cast_variables(self, variables):

@@ -98,7 +98,8 @@ class ZeroLoop:
         cfg = self.cfg
         temperature = temperature_for_iteration(cfg, iteration)
         collector = TrajectoryCollector(cfg, self.env.spec, self.selfplay_batch, seed=cfg.program_seed + iteration)
-        states = self.engine.init_batch(self.selfplay_batch)
+        self.rng, k_init = jax.random.split(self.rng)
+        states = self.engine.init_batch(self.selfplay_batch, k_init)
         num_games, lengths, returns = 0, [], []
         record_path = os.path.join(self.run_dir, "sgf", f"{iteration}.sgf")
         t0 = time.time()
@@ -107,7 +108,11 @@ class ZeroLoop:
                 self.rng, k = jax.random.split(self.rng)
                 out = self.engine.move(self.variables, states, k, temperature)
                 finished, reset_mask = collector.add_moves(out)
-                states = self.engine.reset_slots(out.states, reset_mask) if reset_mask.any() else out.states
+                if reset_mask.any():
+                    self.rng, k_reset = jax.random.split(self.rng)
+                    states = self.engine.reset_slots(out.states, reset_mask, k_reset)
+                else:
+                    states = out.states
                 for fg in finished:
                     self.buffer.add_game(fg.record)
                     record_file.write(

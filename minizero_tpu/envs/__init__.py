@@ -125,6 +125,37 @@ _TABLE: Dict[str, Tuple[str, str, Callable[..., Dict[str, Any]], Dict[str, Any]]
         lambda cfg: {"board_size": cfg.env_board_size or 8},
         {"env_board_size": 8, "actor_dirichlet_noise_alpha": 0.03},
     ),
+    "puzzle2048": (
+        "minizero_tpu.envs.puzzle2048",
+        "Puzzle2048Env",
+        lambda cfg: {},
+        # the reference trains 2048 with gumbel muzero + n-step returns
+        {
+            "env_board_size": 4,
+            "actor_mcts_value_rescale": True,
+            "actor_mcts_reward_discount": 1.0,
+            "actor_select_action_by_count": True,
+            "actor_use_random_rotation_features": False,
+            "learner_n_step_return": 10,
+            "nn_type_name": "muzero",
+        },
+    ),
+    "tetrisblockpuzzle": (
+        "minizero_tpu.envs.tetrisblockpuzzle",
+        "TetrisBlockPuzzleEnv",
+        lambda cfg: {
+            "num_holding_block": cfg.env_tetris_block_puzzle_num_holding_block,
+            "num_preview": cfg.env_tetris_block_puzzle_num_preview_holding_block,
+        },
+        {
+            "env_board_size": 8,
+            "actor_mcts_value_rescale": True,
+            "actor_select_action_by_count": True,
+            "actor_use_random_rotation_features": False,
+            "learner_n_step_return": 10,
+            "nn_type_name": "muzero",
+        },
+    ),
     "rubiks": (
         "minizero_tpu.envs.rubiks",
         "RubiksEnv",

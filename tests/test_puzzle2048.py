@@ -1,0 +1,125 @@
+"""2048 rule tests: slide mechanics vs a transparent oracle + chance-spawn
+invariants (reference puzzle2048.cpp semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from minizero_tpu.envs.puzzle2048 import Puzzle2048Env, _slide
+
+_ENV = Puzzle2048Env()
+
+
+def _oracle_slide_left_row(row):
+    vals = [v for v in row if v != 0]
+    out, score, i = [], 0, 0
+    while i < len(vals):
+        if i + 1 < len(vals) and vals[i] == vals[i + 1]:
+            out.append(vals[i] + 1)
+            score += 1 << (vals[i] + 1)
+            i += 2
+        else:
+            out.append(vals[i])
+            i += 1
+    out += [0] * (4 - len(out))
+    return out, score
+
+
+def _oracle_slide(board, direction):
+    b = np.array(board, int).reshape(4, 4)
+    if direction == 0:  # up
+        b = b.T
+    elif direction == 1:  # right
+        b = b[:, ::-1]
+    elif direction == 2:  # down
+        b = b[::-1].T
+    rows, score = [], 0
+    for r in b:
+        nr, s = _oracle_slide_left_row(list(r))
+        rows.append(nr)
+        score += s
+    nb = np.array(rows)
+    if direction == 0:
+        nb = nb.T
+    elif direction == 1:
+        nb = nb[:, ::-1]
+    elif direction == 2:
+        nb = nb.T[::-1]
+    changed = not np.array_equal(nb, np.array(board, int).reshape(4, 4))
+    return nb.reshape(-1), score, changed
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_slide_matches_oracle_random_boards(seed):
+    rng = np.random.RandomState(seed)
+    for _ in range(30):
+        board = rng.randint(0, 5, 16).astype(np.int8)
+        for d in range(4):
+            nb, score, changed = _slide(jnp.asarray(board).reshape(4, 4), jnp.int32(d))
+            ob, oscore, ochanged = _oracle_slide(board, d)
+            np.testing.assert_array_equal(np.asarray(nb).reshape(-1), ob, err_msg=f"dir {d}")
+            assert int(score) == oscore
+            assert bool(changed) == ochanged
+
+
+def test_merge_priority_and_double_merge():
+    # [2,2,2,0] -> leftmost pair merges: [3,2,0,0]
+    nb, score = _oracle_slide_left_row([2, 2, 2, 0])
+    assert nb == [3, 2, 0, 0] and score == 8
+    row = jnp.asarray(np.array([[2, 2, 2, 0]], np.int8))
+    jb, js, _ = _slide(jnp.tile(row, (4, 1)), jnp.int32(3))
+    assert list(np.asarray(jb)[0]) == [3, 2, 0, 0]
+    # [1,1,2,2] -> [2,3,0,0], score 4+8
+    jb2, js2, _ = _slide(jnp.tile(jnp.asarray(np.array([[1, 1, 2, 2]], np.int8)), (4, 1)), jnp.int32(3))
+    assert list(np.asarray(jb2)[0]) == [2, 3, 0, 0]
+    assert int(js2) == 4 * (4 + 8)
+
+
+def test_step_spawns_and_scores():
+    env = _ENV
+    s = env.init_random(jax.random.PRNGKey(0))
+    b0 = np.asarray(s.board)
+    assert (b0 > 0).sum() == 2 and set(b0[b0 > 0]) <= {1, 2}
+    legal = np.asarray(env.legal_mask(s))
+    assert legal.any()
+    a = int(np.nonzero(legal)[0][0])
+    s2 = env.step(s, jnp.int32(a))
+    b1 = np.asarray(s2.board)
+    ob, oscore, _ = _oracle_slide(b0, a)
+    # exactly one new tile on top of the oracle slide result
+    diff = (b1 != ob) & (ob == 0)
+    assert diff.sum() == 1 and b1[np.argmax(diff)] in (1, 2)
+    assert float(s2.total) == oscore
+
+
+def test_illegal_action_is_noop():
+    env = _ENV
+    board = np.zeros(16, np.int8)
+    board[[0, 1]] = [1, 2]  # top row: moving up changes nothing
+    s = env.init_random(jax.random.PRNGKey(0)).replace(board=jnp.asarray(board))
+    assert not bool(env.legal_mask(s)[0])
+    s2 = env.step(s, jnp.int32(0))
+    np.testing.assert_array_equal(np.asarray(s2.board), board)
+    assert float(s2.reward) == 0.0
+
+
+def test_terminal_full_board_no_merges():
+    env = _ENV
+    board = np.array([[1, 2, 1, 2], [2, 1, 2, 1], [1, 2, 1, 2], [2, 1, 2, 1]], np.int8).reshape(-1)
+    s = env.init_random(jax.random.PRNGKey(0)).replace(board=jnp.asarray(board))
+    assert bool(env.is_terminal(s))
+    board[0] = 2  # now 0 and 4 (both 2) merge vertically
+    s = s.replace(board=jnp.asarray(board))
+    assert not bool(env.is_terminal(s))
+
+
+def test_features_and_action_features():
+    env = _ENV
+    s = env.init_random(jax.random.PRNGKey(0))
+    f = np.asarray(env.features(s))
+    assert f.shape == (4, 4, 16)
+    assert f.sum() == 16  # one-hot including the zero plane
+    af = np.asarray(env.action_features(jnp.int32(2)))
+    assert af.shape == (4, 4, 4)
+    assert (af[:, :, 2] == 1).all() and af.sum() == 16

@@ -1,0 +1,229 @@
+"""Atari (ALE) — the one host-side env family (reference
+``minizero/environment/atari/atari.{h,cpp}``).
+
+Semantics preserved: 18-action full set with the game's minimal set defining
+legality; frameskip 4 with summed rewards (``atari.cpp:79-83``); sticky
+actions p=0.25 and a 108k frame cap set on the ALE (``atari.cpp:53-56``);
+96x96 RGB observations; features = 8 history steps x [1 action plane
+(id/18) + 3 RGB planes] in NHWC (``atari.cpp:112-122``); per-step lives
+history for episodic-life n-step returns (``atari.cpp:259-277`` via the
+loader); deterministic replay from the episode seed (``atari.cpp:41-46``).
+
+The ALE runs on host (numpy); MuZero search runs on device via
+``selfplay/muzero_search.py`` — the env is only consulted at the root,
+matching the reference's MuZero path. The ALE handle is injectable so tests
+run against a light fake; the real backend needs the optional ``ale_py``
+package + ROMs (absent in this image -> a clear ImportError).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from minizero_tpu.envs.base import EnvSpec
+
+ACTION_SIZE = 18
+RESOLUTION = 96
+FRAME_SKIP = 4
+HISTORY = 8
+MAX_FRAMES = 108000
+STICKY_PROB = 0.25
+
+
+def atari_spec(game_name: str = "ms_pacman") -> EnvSpec:
+    return EnvSpec(
+        name=f"atari_{game_name}",
+        num_players=1,
+        board_size=RESOLUTION,
+        action_size=ACTION_SIZE,
+        num_input_channels=HISTORY * 4,
+        input_height=RESOLUTION,
+        input_width=RESOLUTION,
+        hidden_height=6,
+        hidden_width=6,
+        num_action_feature_channels=ACTION_SIZE,
+        discrete_value_size=601,
+        max_game_length=MAX_FRAMES // FRAME_SKIP,
+    )
+
+
+def make_ale(rom_path: str, seed: int):
+    """Construct a real ALE handle (requires the optional ale_py package)."""
+    try:
+        from ale_py import ALEInterface
+    except ImportError as e:  # pragma: no cover - gated dependency
+        raise ImportError(
+            "Atari support needs the optional 'ale_py' package (not bundled "
+            "in this image); inject a custom ale_factory or install ale_py"
+        ) from e
+    ale = ALEInterface()
+    ale.setInt("random_seed", seed)
+    ale.setInt("max_num_frames_per_episode", MAX_FRAMES)
+    ale.setFloat("repeat_action_probability", STICKY_PROB)
+    ale.loadROM(rom_path)
+    return ale
+
+
+class FakeALE:
+    """Minimal ALE-compatible stub for tests: deterministic pseudo-screens,
+    reward = action id parity, 3 lives, episode ends after ``length``
+    frames."""
+
+    def __init__(self, seed: int = 0, length: int = 64, minimal_actions=(0, 1, 2, 3)):
+        self.rng = np.random.RandomState(seed)
+        self.frame = 0
+        self.length = length
+        self._minimal = list(minimal_actions)
+        self._screen = self.rng.randint(0, 255, (210, 160, 3), np.uint8)
+
+    def act(self, action: int) -> float:
+        self.frame += 1
+        self._screen = np.roll(self._screen, int(action) + 1, axis=0)
+        return float(int(action) % 2)
+
+    def game_over(self, *_args, **_kwargs) -> bool:
+        return self.frame >= self.length
+
+    def lives(self) -> int:
+        return 3 - min(2, self.frame // max(1, self.length // 3))
+
+    def getMinimalActionSet(self):
+        return list(self._minimal)
+
+    def getScreenRGB(self):
+        return self._screen
+
+    def reset_game(self):
+        self.frame = 0
+
+
+def _resize_rgb(screen: np.ndarray, res: int = RESOLUTION) -> np.ndarray:
+    """Nearest-neighbour resize to [res, res, 3] float32 in [0, 1] (the
+    reference uses OpenCV interpolation; nearest keeps this dependency-free
+    and is visually equivalent for 96x96 RL inputs)."""
+    h, w = screen.shape[:2]
+    ri = (np.arange(res) * h // res).astype(np.int32)
+    ci = (np.arange(res) * w // res).astype(np.int32)
+    return screen[ri][:, ci].astype(np.float32) / 255.0
+
+
+class AtariEnv:
+    """Single host-side Atari episode (numpy protocol)."""
+
+    def __init__(
+        self,
+        game_name: str = "ms_pacman",
+        rom_dir: str = "/opt/atari57/",
+        seed: int = 0,
+        ale_factory: Optional[Callable[[int], object]] = None,
+    ):
+        self.spec = atari_spec(game_name)
+        self.game_name = game_name
+        self.rom_dir = rom_dir
+        self._ale_factory = ale_factory or (
+            lambda s: make_ale(f"{rom_dir.rstrip('/')}/{game_name}.bin", s)
+        )
+        self.reset(seed)
+
+    def reset(self, seed: int) -> None:
+        """reference atari.cpp:47-74."""
+        self.seed = seed
+        self.ale = self._ale_factory(seed)
+        self.ale.reset_game()
+        self.minimal_actions = set(int(a) for a in self.ale.getMinimalActionSet())
+        self.actions: List[int] = []
+        self.rewards: List[float] = []
+        self.lives_history: List[int] = [self.ale.lives()]
+        self.total_reward = 0.0
+        self.reward = 0.0
+        self._obs_history = np.zeros((HISTORY, RESOLUTION, RESOLUTION, 3), np.float32)
+        self._obs_history[-1] = _resize_rgb(np.asarray(self.ale.getScreenRGB()))
+        self._action_history = np.zeros((HISTORY,), np.float32)
+
+    def legal_mask(self) -> np.ndarray:
+        mask = np.zeros(ACTION_SIZE, bool)
+        mask[list(self.minimal_actions)] = True
+        return mask
+
+    def step(self, action: int) -> float:
+        """Frameskip-4 step (atari.cpp:76-104)."""
+        reward = 0.0
+        for _ in range(FRAME_SKIP):
+            reward += float(self.ale.act(int(action)))
+        self.reward = reward
+        self.total_reward += reward
+        self.actions.append(int(action))
+        self.rewards.append(reward)
+        self.lives_history.append(self.ale.lives())
+        self._obs_history = np.roll(self._obs_history, -1, axis=0)
+        self._obs_history[-1] = _resize_rgb(np.asarray(self.ale.getScreenRGB()))
+        self._action_history = np.roll(self._action_history, -1)
+        self._action_history[-1] = int(action) / ACTION_SIZE
+        return reward
+
+    def is_terminal(self) -> bool:
+        return (len(self.actions) * FRAME_SKIP >= MAX_FRAMES) or bool(self.ale.game_over(False))
+
+    def features(self) -> np.ndarray:
+        """f32[96, 96, 32] NHWC: 8 x [action plane, R, G, B]
+        (atari.cpp:112-122; the reference emits CHW, same content)."""
+        planes = np.empty((RESOLUTION, RESOLUTION, HISTORY * 4), np.float32)
+        for i in range(HISTORY):
+            planes[:, :, 4 * i] = self._action_history[i]
+            planes[:, :, 4 * i + 1: 4 * i + 4] = self._obs_history[i]
+        return planes
+
+    def eval_score(self) -> float:
+        return self.total_reward
+
+    # --- device-side hooks shared with the trainer / search ---------------
+    def action_features(self, action):
+        """jnp f32[6, 6, 18]: chosen action's channel filled
+        (atari.cpp getActionFeatures)."""
+        import jax.numpy as jnp
+
+        onehot = (jnp.arange(ACTION_SIZE) == action).astype(jnp.float32)
+        return jnp.broadcast_to(
+            onehot[None, None, :], (self.spec.hidden_height, self.spec.hidden_width, ACTION_SIZE)
+        )
+
+    def num_rotations(self) -> int:
+        return 1
+
+
+class AtariVecEnv:
+    """A batch of host Atari episodes with array-in/array-out stepping."""
+
+    def __init__(self, batch_size: int, seed: int = 0, **env_kwargs):
+        self.envs = [AtariEnv(seed=seed * 7919 + i, **env_kwargs) for i in range(batch_size)]
+        self.spec = self.envs[0].spec
+        self.action_features = self.envs[0].action_features
+        self._next_seed = seed * 7919 + batch_size
+
+    def num_rotations(self) -> int:
+        return 1
+
+    def features(self) -> np.ndarray:
+        return np.stack([e.features() for e in self.envs])
+
+    def legal_masks(self) -> np.ndarray:
+        return np.stack([e.legal_mask() for e in self.envs])
+
+    def step(self, actions: np.ndarray) -> np.ndarray:
+        return np.asarray([e.step(int(a)) for e, a in zip(self.envs, actions)], np.float32)
+
+    def terminals(self) -> np.ndarray:
+        return np.asarray([e.is_terminal() for e in self.envs])
+
+    def reset_done(self) -> List[int]:
+        """Reset finished episodes with fresh seeds; returns their slots."""
+        done = []
+        for i, e in enumerate(self.envs):
+            if e.is_terminal():
+                e.reset(self._next_seed)
+                self._next_seed += 1
+                done.append(i)
+        return done

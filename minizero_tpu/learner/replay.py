@@ -39,6 +39,7 @@ class GameRecord:
     result: float  # RE tag (eval score / return)
     data_range: Tuple[int, int] = (-1, -1)  # DLEN; (-1,-1) -> full game
     priorities: Optional[np.ndarray] = None  # f32[L]; None -> uniform
+    lives_lost: Optional[np.ndarray] = None  # bool[L]; episodic-life cuts (L tags)
 
     def __post_init__(self):
         if self.data_range == (-1, -1):
@@ -63,8 +64,48 @@ class ReplayBuffer:
     def __len__(self) -> int:
         return len(self.games)
 
+    def _n_step_value(self, rec: GameRecord, pos: int) -> float:
+        """Episodic-life n-step return with root-value bootstrap (reference
+        AtariEnvLoader::calculateNStepValue, atari.cpp)."""
+        n = self.cfg.learner_n_step_return
+        discount = self.cfg.actor_mcts_reward_discount
+        length = rec.length
+        bootstrap = pos + n
+        cut = rec.lives_lost
+        tail = (
+            (discount ** n) * float(rec.values[bootstrap])
+            if bootstrap < length and not (cut is not None and cut[bootstrap])
+            else 0.0
+        )
+        value = 0.0
+        for idx in range(pos, min(bootstrap, length)):
+            if cut is not None and cut[idx]:
+                return value
+            value += (discount ** (idx - pos)) * float(rec.rewards[idx])
+        return value + tail
+
+    def value_target(self, rec: GameRecord, pos: int) -> float:
+        """Board games: the game return; n-step games: the n-step value
+        (0 past the end, reference atari.h:115)."""
+        if self.cfg.learner_n_step_return <= 0:
+            return rec.result
+        return self._n_step_value(rec, pos) if pos < rec.length else 0.0
+
     def add_game(self, record: GameRecord) -> None:
         lo, hi = record.data_range
+        if (
+            self.cfg.learner_use_per
+            and record.priorities is None
+            and self.cfg.learner_n_step_return > 0
+        ):
+            # priority = |n-step value - root value| (reference atari.h:117)
+            record.priorities = np.asarray(
+                [
+                    abs(self._n_step_value(record, p) - float(record.values[p])) + 1e-6
+                    for p in range(record.length)
+                ],
+                np.float32,
+            )
         pri = np.zeros(record.length, np.float32)
         if self.cfg.learner_use_per and record.priorities is not None:
             pri[lo : hi + 1] = np.power(record.priorities[lo : hi + 1], self.cfg.learner_per_alpha)
@@ -162,8 +203,7 @@ class ReplayBuffer:
                     reward[i, step] = rec.rewards[pos] if inside else 0.0
                 # absorbing policy is uniform (reference base_env.h:262-264)
                 policy[i, step] = rec.policy[pos].astype(np.float32) if inside else uniform
-                # board-game value target = return everywhere
-                value[i, step] = rec.result
+                value[i, step] = self.value_target(rec, pos)
         return {
             "features": feats,
             "actions": actions,

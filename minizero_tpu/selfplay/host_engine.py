@@ -1,0 +1,186 @@
+"""Host-env self-play engine (Atari): host-side vectorised env + device-side
+MuZero search.
+
+The fused engine keeps envs on device; the ALE cannot go there, so this
+engine mirrors the reference's MuZero actor structure (env consulted only at
+the root, ``actor/zero_actor.cpp:58-68``): per move it uploads the feature
+batch, runs the jitted batched search (``selfplay/muzero_search.py``), and
+steps the host envs with the chosen actions.
+
+The collector reproduces the reference's intermediate-sequence chunking for
+long episodes (``actor/actor_group.cpp:52-64, 125-132``): when
+``zero_actor_intermediate_sequence_length`` > 0, a record chunk is emitted
+every seqlen trainable positions with a ``learner_muzero_unrolling_step +
+learner_n_step_return`` margin, and per-move lives-lost flags feed the
+episodic-life n-step cut (``atari.cpp calculateNStepValue``).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from minizero_tpu.config import Config
+from minizero_tpu.learner.replay import GameRecord
+from minizero_tpu.selfplay.collector import FinishedGame
+from minizero_tpu.selfplay.engine import search_spec_from_config
+from minizero_tpu.selfplay.muzero_search import make_muzero_search
+
+
+class HostMoveOutput(NamedTuple):
+    action: np.ndarray  # i32[B]
+    policy_target: np.ndarray  # f32[B, A]
+    root_value: np.ndarray  # f32[B]
+    reward: np.ndarray  # f32[B]
+    features: np.ndarray  # u8[B, H, W, C] pre-move features
+    done: np.ndarray  # bool[B]
+    eval_score: np.ndarray  # f32[B]
+    lives_lost: np.ndarray  # bool[B]
+
+
+class HostSelfPlayEngine:
+    """Batched self-play over a host vec env (MuZero only)."""
+
+    def __init__(self, vec_env, cfg: Config, network, eval_mode: bool = False, use_bf16: bool = True):
+        self.vec_env = vec_env
+        self.cfg = cfg
+        self.network = network
+        spec = vec_env.spec
+        self.env_spec = spec
+        self.search_spec = search_spec_from_config(cfg, spec, eval_mode=eval_mode)
+        self.compute_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+
+        c = spec.num_action_feature_channels
+
+        def action_features(action):
+            onehot = (jnp.arange(c) == action).astype(jnp.float32)
+            return jnp.broadcast_to(
+                onehot[None, None, :], (spec.hidden_height, spec.hidden_width, c)
+            )
+
+        self._search = jax.jit(
+            make_muzero_search(
+                network,
+                self.search_spec,
+                action_features,
+                spec.num_players,
+                discrete_value=spec.discrete_value_size > 1,
+                compute_dtype=self.compute_dtype,
+                resign_threshold=cfg.actor_resign_threshold,
+            )
+        )
+
+    def _cast_variables(self, variables):
+        dt = self.compute_dtype
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dt) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            variables,
+        )
+
+    def move(self, variables, rng, temperature: float = 1.0) -> HostMoveOutput:
+        feats = self.vec_env.features()  # f32[B, H, W, C]
+        legal = self.vec_env.legal_masks()
+        batch = feats.shape[0]
+        turns = jnp.ones((batch,), jnp.int32)
+        lives_before = np.asarray([e.lives_history[-1] for e in self.vec_env.envs])
+        res = self._search(
+            self._cast_variables(variables),
+            jnp.asarray(feats),
+            jnp.asarray(legal),
+            turns,
+            rng,
+            jnp.float32(temperature),
+        )
+        actions = np.asarray(res.action)
+        rewards = self.vec_env.step(actions)
+        done = self.vec_env.terminals()
+        lives_after = np.asarray([e.lives_history[-1] for e in self.vec_env.envs])
+        scores = np.asarray([e.eval_score() for e in self.vec_env.envs], np.float32)
+        return HostMoveOutput(
+            action=actions,
+            policy_target=np.asarray(res.policy_target),
+            root_value=np.asarray(res.root_value),
+            reward=rewards,
+            features=np.clip(feats * 255.0, 0, 255).astype(np.uint8),
+            done=done,
+            eval_score=scores,
+            lives_lost=lives_after < lives_before,
+        )
+
+
+class AtariTrajectoryCollector:
+    """Accumulates host-engine moves into (possibly chunked) GameRecords."""
+
+    def __init__(self, cfg: Config, env_spec, batch_size: int):
+        self.cfg = cfg
+        self.spec = env_spec
+        self.batch = batch_size
+        self._slots: List[dict] = [self._new_slot() for _ in range(batch_size)]
+
+    def _new_slot(self) -> dict:
+        return {
+            "actions": [], "policy": [], "values": [], "rewards": [],
+            "features": [], "lives_lost": [], "emitted_until": 0,
+        }
+
+    def _margin(self) -> int:
+        return self.cfg.learner_muzero_unrolling_step + self.cfg.learner_n_step_return
+
+    def add_moves(self, out: HostMoveOutput) -> Tuple[List[FinishedGame], List[int]]:
+        """Returns (finished chunks/games, slots needing reset)."""
+        finished: List[FinishedGame] = []
+        reset_slots: List[int] = []
+        seqlen = self.cfg.zero_actor_intermediate_sequence_length
+        for i in range(self.batch):
+            slot = self._slots[i]
+            slot["actions"].append(int(out.action[i]))
+            slot["policy"].append(out.policy_target[i].astype(np.float16))
+            slot["values"].append(float(out.root_value[i]))
+            slot["rewards"].append(float(out.reward[i]))
+            slot["features"].append(out.features[i])
+            slot["lives_lost"].append(bool(out.lives_lost[i]))
+            length = len(slot["actions"])
+            if out.done[i]:
+                finished.append(self._emit(i, terminal=True, score=float(out.eval_score[i])))
+                self._slots[i] = self._new_slot()
+                reset_slots.append(i)
+            elif seqlen > 0 and length >= seqlen and (length - self._margin()) % seqlen == 0:
+                finished.append(self._emit(i, terminal=False, score=float(out.eval_score[i])))
+        return finished, reset_slots
+
+    def _emit(self, slot_idx: int, terminal: bool, score: float) -> FinishedGame:
+        """Chunk emission (reference calculateTrainingDataRange,
+        actor_group.cpp:52-64), sliced to dense per-chunk arrays."""
+        cfg = self.cfg
+        slot = self._slots[slot_idx]
+        length = len(slot["actions"])
+        seqlen = cfg.zero_actor_intermediate_sequence_length
+        margin = self._margin()
+        data_end = length - 1
+        data_start = 0
+        if seqlen > 0:
+            data_end = max(0, data_end if terminal else data_end - margin)
+            data_start = max(
+                0,
+                (data_end - data_end % seqlen) if terminal else data_end + 1 - seqlen,
+            )
+            if terminal and data_end % seqlen < margin:
+                data_start = max(0, data_start - seqlen)
+        # store [data_start .. min(len-1, data_end + margin)] so unroll/n-step
+        # targets stay inside the chunk
+        store_end = min(length - 1, data_end + margin)
+        sl = slice(data_start, store_end + 1)
+        record = GameRecord(
+            actions=np.asarray(slot["actions"][sl], np.int32),
+            policy=np.stack(slot["policy"][sl]),
+            values=np.asarray(slot["values"][sl], np.float32),
+            rewards=np.asarray(slot["rewards"][sl], np.float32),
+            features=np.stack(slot["features"][sl]),
+            result=score,
+            data_range=(0, data_end - data_start),
+            lives_lost=np.asarray(slot["lives_lost"][sl], bool),
+        )
+        return FinishedGame(record=record, players=tuple([1] * record.length), slot=slot_idx)

@@ -1,0 +1,172 @@
+"""Device-side MuZero search, decoupled from the (jittable) env protocol.
+
+The fused self-play engine runs envs under ``vmap`` on device; host-side envs
+(Atari's ALE) cannot. MuZero only needs the env at the ROOT — initial
+features + legal mask — so this module exposes the full batched search
+(root inference -> n simulations through the dynamics net -> action/policy
+extraction) as one jittable function over plain arrays. Both the fused
+engine and the host engine (``selfplay/host_engine.py``) build on it
+(reference: the MuZero path of ``actor/zero_actor.cpp:58-68, 231-245``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from minizero_tpu.search import gumbel as gz
+from minizero_tpu.search import mcts
+from minizero_tpu.search.mcts import SearchSpec
+from minizero_tpu.utils.transforms import from_discrete_value
+
+
+class SearchResult(NamedTuple):
+    action: jnp.ndarray  # i32[B]
+    policy_target: jnp.ndarray  # f32[B, A]
+    root_value: jnp.ndarray  # f32[B]
+    resign: jnp.ndarray  # bool[B]
+
+
+def _scalar(out, key, discrete):
+    if discrete:
+        return from_discrete_value(out[key].astype(jnp.float32))
+    return out[key][:, 0].astype(jnp.float32)
+
+
+def make_muzero_search(
+    network,
+    spec: SearchSpec,
+    action_features_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    num_players: int,
+    discrete_value: bool,
+    compute_dtype=jnp.float32,
+    resign_threshold: float = -0.9,
+):
+    """Build ``search(variables, feats, legal, turns, rng, temperature)``.
+
+    ``variables`` must already be cast to ``compute_dtype``; ``feats`` is the
+    f32 root feature batch; ``legal`` bool[B, A]; ``turns`` i32[B].
+    """
+
+    def search(variables, feats, legal, turns, rng, temperature) -> SearchResult:
+        batch = feats.shape[0]
+        rng, k_noise = jax.random.split(rng)
+
+        out = network.apply(
+            variables, feats.astype(compute_dtype), train=False,
+            method=network.initial_inference,
+        )
+        policy = out["policy"].astype(jnp.float32)
+        logits = out["policy_logit"].astype(jnp.float32)
+        value = _scalar(out, "value", discrete_value)
+        root_embedding = out["hidden_state"]
+
+        proto = jax.tree_util.tree_map(lambda x: x[0], root_embedding)
+        trees = jax.vmap(lambda t: mcts.init_tree(spec, proto, t))(turns)
+        no_parent = jnp.full((batch,), -1, jnp.int32)
+        zeros_i = jnp.zeros((batch,), jnp.int32)
+        falses = jnp.zeros((batch,), bool)
+        trees = jax.vmap(functools.partial(mcts.expand_node, spec))(
+            trees, zeros_i, no_parent, zeros_i, turns, policy, logits, legal, falses,
+            root_embedding,
+        )
+        trees = jax.vmap(functools.partial(mcts.backup, spec))(
+            trees, zeros_i, value, jnp.zeros((batch,), jnp.float32)
+        )
+        trees = jax.vmap(functools.partial(mcts.add_root_noise, spec))(
+            trees, jax.random.split(k_noise, batch)
+        )
+        if spec.use_gumbel:
+            trees = jax.vmap(functools.partial(gz.init_candidates, spec))(trees)
+
+        def sim_body(s, carry):
+            trees, rng = carry
+            rng, _ = jax.random.split(rng)
+            if spec.use_gumbel:
+                sel = jax.vmap(functools.partial(gz.gumbel_select_leaf, spec))(trees)
+            else:
+                sel = jax.vmap(lambda t: mcts.select_leaf(spec, t, jnp.int32(0)))(trees)
+
+            parent_embedding = jax.tree_util.tree_map(
+                lambda x: jax.vmap(lambda e, p: e[jnp.maximum(p, 0)])(x, sel.parent),
+                trees.embedding,
+            )
+            action_planes = jax.vmap(action_features_fn)(sel.action).astype(compute_dtype)
+            out = network.apply(
+                variables, parent_embedding, action_planes, train=False,
+                method=network.recurrent_inference,
+            )
+            policy = out["policy"].astype(jnp.float32)
+            logits = out["policy_logit"].astype(jnp.float32)
+            value = _scalar(out, "value", discrete_value)
+            if "reward" in out:
+                reward = from_discrete_value(out["reward"].astype(jnp.float32))
+            else:
+                reward = jnp.zeros((batch,), jnp.float32)
+            leaf_embedding = out["hidden_state"]
+            leaf_terminal = jnp.zeros((batch,), bool)
+            leaf_legal = jnp.ones((batch, spec.action_size), bool)
+            leaf_turn = jnp.where(
+                jnp.int32(num_players) == 1,
+                jnp.ones_like(sel.parent),
+                3 - jax.vmap(lambda t, p: t.to_play[jnp.maximum(p, 0)])(trees, sel.parent),
+            )
+            node_idx = jnp.full((batch,), s, jnp.int32)
+
+            def per_game(tree, sel, policy, logits, legal, terminal, value, reward, turn, embedding, nidx):
+                def new_case(tree):
+                    t = mcts.expand_node(
+                        spec, tree, nidx, sel.parent, sel.action, turn,
+                        policy, logits, legal, terminal, embedding,
+                    )
+                    return mcts.backup(spec, t, nidx, value, reward)
+
+                def revisit_case(tree):
+                    leaf = jnp.maximum(sel.leaf, 0)
+                    return mcts.backup(spec, tree, leaf, tree.value[leaf], tree.reward[leaf])
+
+                return jax.lax.cond(sel.is_new, new_case, revisit_case, tree)
+
+            trees = jax.vmap(per_game)(
+                trees, sel, policy, logits, leaf_legal, leaf_terminal, value, reward,
+                leaf_turn, leaf_embedding, node_idx,
+            )
+            if spec.use_gumbel:
+                trees = jax.vmap(functools.partial(gz.sequential_halving_tick, spec))(trees)
+            return trees, rng
+
+        trees, rng = jax.lax.fori_loop(1, spec.num_simulations + 1, sim_body, (trees, rng))
+
+        rng, k_sel = jax.random.split(rng)
+        sel_keys = jax.random.split(k_sel, batch)
+        if spec.use_gumbel:
+            if spec.select_by_count:
+                action = jax.vmap(functools.partial(gz.decide_action, spec))(trees)
+            else:
+                action = jax.vmap(
+                    lambda t, k: mcts.select_action_by_softmax_count(spec, t, k, temperature)
+                )(trees, sel_keys)
+            policy_target = jax.vmap(functools.partial(gz.improved_policy_target, spec))(trees)
+        else:
+            if spec.select_by_count:
+                action = jax.vmap(mcts.select_action_by_max_count)(trees)
+            else:
+                action = jax.vmap(
+                    lambda t, k: mcts.select_action_by_softmax_count(spec, t, k, temperature)
+                )(trees, sel_keys)
+            policy_target = jax.vmap(mcts.mcts_policy_target)(trees)
+
+        resign = jax.vmap(
+            lambda t, a: mcts.is_resign(spec, t, a, resign_threshold)
+        )(trees, action)
+        return SearchResult(
+            action=action,
+            policy_target=policy_target,
+            root_value=trees.mean[:, 0],
+            resign=resign,
+        )
+
+    return search

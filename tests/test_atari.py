@@ -1,0 +1,138 @@
+"""Atari host pipeline tests against the FakeALE stub: env semantics,
+episode chunking, n-step replay targets, and a device-search drive."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from minizero_tpu.config import default_config
+from minizero_tpu.envs.atari import FRAME_SKIP, AtariEnv, AtariVecEnv, FakeALE
+from minizero_tpu.learner.replay import GameRecord, ReplayBuffer
+from minizero_tpu.models.factory import create_network, init_network
+from minizero_tpu.selfplay.host_engine import (
+    AtariTrajectoryCollector,
+    HostMoveOutput,
+    HostSelfPlayEngine,
+)
+
+
+def _fake_env(seed=0, length=64):
+    return AtariEnv(seed=seed, ale_factory=lambda s: FakeALE(seed=s, length=length))
+
+
+def test_atari_env_protocol():
+    env = _fake_env()
+    assert env.spec.num_input_channels == 32
+    mask = env.legal_mask()
+    assert mask.sum() == 4 and mask[:4].all()  # FakeALE minimal set
+    f0 = env.features()
+    assert f0.shape == (96, 96, 32)
+    # only the newest history slot is filled at reset
+    assert f0[:, :, : 7 * 4].sum() == 0 and f0[:, :, 29:].sum() > 0
+    r = env.step(1)
+    assert r == FRAME_SKIP * 1.0  # FakeALE reward = action parity per frame
+    f1 = env.features()
+    # action plane of the newest slot = 1/18
+    assert np.allclose(f1[:, :, 28], 1 / 18)
+    assert len(env.actions) == 1 and env.total_reward == r
+
+
+def test_atari_env_terminates():
+    env = _fake_env(length=16)
+    steps = 0
+    while not env.is_terminal():
+        env.step(0)
+        steps += 1
+    assert steps == 16 // FRAME_SKIP
+
+
+def test_host_engine_drive():
+    cfg = default_config(
+        "atari",
+        actor_num_simulation=3,
+        nn_num_blocks=1,
+        nn_num_hidden_channels=8,
+        nn_num_value_hidden_channels=8,
+        zero_actor_intermediate_sequence_length=4,
+        learner_n_step_return=2,
+        learner_muzero_unrolling_step=2,
+    )
+    vec = AtariVecEnv(2, ale_factory=lambda s: FakeALE(seed=s, length=24))
+    net = create_network(cfg, vec.spec)
+    variables = init_network(net, vec.spec, jax.random.PRNGKey(0))
+    engine = HostSelfPlayEngine(vec, cfg, net, use_bf16=False)
+    collector = AtariTrajectoryCollector(cfg, vec.spec, 2)
+    buffer = ReplayBuffer(cfg, vec.spec)
+    rng = jax.random.PRNGKey(1)
+    games = 0
+    for _ in range(10):
+        rng, k = jax.random.split(rng)
+        out = engine.move(variables, rng=k)
+        finished, reset_slots = collector.add_moves(out)
+        for fg in finished:
+            buffer.add_game(fg.record)
+            games += 1
+        vec.reset_done()
+        if games >= 3:
+            break
+    assert games >= 1
+    assert len(buffer) >= 1
+    batch = buffer.sample_muzero(4, np.random.RandomState(0))
+    assert batch["features"].shape == (4, 96, 96, 32)
+    assert batch["actions"].shape == (4, cfg.learner_muzero_unrolling_step)
+
+
+def test_chunking_ranges():
+    cfg = default_config(
+        "atari",
+        zero_actor_intermediate_sequence_length=8,
+        learner_n_step_return=2,
+        learner_muzero_unrolling_step=2,
+    )
+    from minizero_tpu.envs.atari import atari_spec
+
+    spec = atari_spec()
+    col = AtariTrajectoryCollector(cfg, spec, 1)
+    feats = np.zeros((1, 4, 4, 1), np.uint8)  # shapes don't matter to the collector
+    chunks = []
+    for t in range(30):
+        out = HostMoveOutput(
+            action=np.array([t % 4]),
+            policy_target=np.zeros((1, spec.action_size), np.float32),
+            root_value=np.array([0.5]),
+            reward=np.array([1.0]),
+            features=feats,
+            done=np.array([t == 29]),
+            eval_score=np.array([30.0]),
+            lives_lost=np.array([False]),
+        )
+        finished, _ = col.add_moves(out)
+        chunks.extend(finished)
+    assert len(chunks) >= 2  # intermediate chunk(s) + terminal chunk
+    # every chunk's trainable range lies inside its stored arrays
+    for fg in chunks:
+        lo, hi = fg.record.data_range
+        assert 0 <= lo <= hi < fg.record.length
+
+
+def test_n_step_value_with_life_cut():
+    cfg = default_config("atari", learner_n_step_return=3, actor_mcts_reward_discount=0.5)
+    from minizero_tpu.envs.atari import atari_spec
+
+    buf = ReplayBuffer(cfg, atari_spec())
+    rec = GameRecord(
+        actions=np.arange(6, dtype=np.int32),
+        policy=np.zeros((6, 18), np.float16),
+        values=np.array([10, 20, 30, 40, 50, 60], np.float32),
+        rewards=np.array([1, 2, 4, 8, 16, 32], np.float32),
+        features=np.zeros((6, 1, 1, 1), np.uint8),
+        result=63.0,
+        lives_lost=np.array([False, False, False, True, False, False]),
+    )
+    # pos 0: r0 + 0.5 r1 + 0.25 r2 + 0.125 * V[3]? no: bootstrap at 3 has life
+    # lost -> no bootstrap: 1 + 1 + 1 = 3
+    assert buf._n_step_value(rec, 0) == 1 + 0.5 * 2 + 0.25 * 4
+    # pos 2: r2, then idx3 has life lost -> stop, no bootstrap contribution
+    assert buf._n_step_value(rec, 2) == 4.0
+    # pos 4: r4 + 0.5 r5, bootstrap at 7 out of range
+    assert buf._n_step_value(rec, 4) == 16 + 0.5 * 32

@@ -1,0 +1,186 @@
+"""Evaluation matches + Elo.
+
+TPU-native replacement for the reference's gogui-twogtp shell harnesses
+(``tools/self-eval.sh``, ``tools/fight-eval.sh``): instead of two GTP
+processes per game, a whole batch of head-to-head games runs on device in
+lock-step — both candidate networks evaluate every position and each game
+takes the action of the network owning the player to move, with colours
+alternated across the batch (the reference alternates colours per game pair,
+``self-eval.sh:86-118``). Elo from win rate matches ``tools/eval.py:64-71``:
+``400 * log10(w / (1 - w))``.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import pickle
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from minizero_tpu.config import Config
+from minizero_tpu.envs import make_env
+from minizero_tpu.models.factory import create_network, init_network
+from minizero_tpu.selfplay.engine import SelfPlayEngine
+
+
+@dataclass
+class MatchResult:
+    p1_wins: int
+    p2_wins: int
+    draws: int
+
+    @property
+    def games(self) -> int:
+        return self.p1_wins + self.p2_wins + self.draws
+
+    @property
+    def p1_win_rate(self) -> float:
+        # draws count half, like twogtp scoring
+        return (self.p1_wins + 0.5 * self.draws) / max(self.games, 1)
+
+
+def elo_from_win_rate(win_rate: float) -> float:
+    """reference tools/eval.py:64-71 (clamped away from 0/1)."""
+    w = min(max(win_rate, 1e-4), 1 - 1e-4)
+    return 400.0 * math.log10(w / (1.0 - w))
+
+
+def load_checkpoint_variables(path: str, cfg: Config, network, spec):
+    """Read a ZeroLoop checkpoint into inference variables."""
+    from flax import serialization
+
+    from minizero_tpu.learner.train import init_train_state
+
+    variables = init_network(network, spec, jax.random.PRNGKey(0))
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    state = init_train_state(cfg, variables)
+    state = serialization.from_bytes(state, payload["state"])
+    out = {"params": state.params}
+    if state.batch_stats:
+        out["batch_stats"] = state.batch_stats
+    return out
+
+
+def play_match(
+    cfg: Config,
+    variables_a,
+    variables_b,
+    num_games: int = 100,
+    seed: int = 0,
+    max_moves: Optional[int] = None,
+) -> MatchResult:
+    """Head-to-head A-vs-B with alternating colours; returns A's result.
+
+    Eval recipe per the reference (``README.md:203``): sims from cfg,
+    argmax-count selection, no exploration noise (``eval_mode=True``).
+    """
+    env = make_env(cfg)
+    net = create_network(cfg, env.spec)
+    engine_a = SelfPlayEngine(env, cfg, net, eval_mode=True)
+    engine_b = SelfPlayEngine(env, cfg, net, eval_mode=True)
+
+    batch = min(num_games, max(cfg.zero_num_parallel_games, 1))
+    rng = jax.random.PRNGKey(seed)
+    a_wins = b_wins = draws = 0
+    played = 0
+    # colour of A per slot: slot i -> A plays (i % 2) + 1
+    a_colour = np.array([(i % 2) + 1 for i in range(batch)], np.int8)
+    rng, k = jax.random.split(rng)
+    states = engine_a.init_batch(batch, k)
+    moves = 0
+    cap = max_moves or env.spec.max_game_length + 8
+
+    while played < num_games and moves < cap * (num_games // batch + 2):
+        rng, ka, kb = jax.random.split(rng, 3)
+        out_a = engine_a.move(variables_a, states, ka)
+        out_b = engine_b.move(variables_b, states, kb)
+        turns = np.asarray(out_a.turn)
+        use_a = turns == a_colour
+        actions = np.where(use_a, np.asarray(out_a.action), np.asarray(out_b.action))
+        # step all games with the chosen actions through engine A's env
+        import jax.numpy as jnp
+
+        states = jax.vmap(env.step)(states, jnp.asarray(actions, jnp.int32))
+        done = np.asarray(jax.vmap(env.is_terminal)(states))
+        moves += 1
+        if done.any():
+            scores = np.asarray(jax.vmap(env.eval_score)(states))
+            reset_mask = np.zeros(batch, bool)
+            for i in np.nonzero(done)[0]:
+                if played >= num_games:
+                    break
+                s = float(scores[i])
+                a_is_p1 = a_colour[i] == 1
+                if s > 0:
+                    a_wins += 1 if a_is_p1 else 0
+                    b_wins += 0 if a_is_p1 else 1
+                elif s < 0:
+                    b_wins += 1 if a_is_p1 else 0
+                    a_wins += 0 if a_is_p1 else 1
+                else:
+                    draws += 1
+                played += 1
+                reset_mask[i] = True
+                a_colour[i] = 3 - a_colour[i]  # alternate colours
+            if reset_mask.any():
+                rng, kr = jax.random.split(rng)
+                states = engine_a.reset_slots(states, reset_mask, kr)
+    return MatchResult(p1_wins=a_wins, p2_wins=b_wins, draws=draws)
+
+
+def self_eval(cfg: Config, run_dir: str, interval: int = 1, num_games: int = 100,
+              seed: int = 0) -> List[Dict]:
+    """Ladder: iteration i vs i+interval over a training dir's checkpoints,
+    accumulating Elo (reference tools/self-eval.sh + eval.py)."""
+    model_dir = os.path.join(run_dir, "model")
+    ckpts = sorted(
+        (f for f in os.listdir(model_dir) if f.endswith(".ckpt")),
+        key=lambda f: int(f.split("_")[-1].split(".")[0]),
+    )
+    env = make_env(cfg)
+    net = create_network(cfg, env.spec)
+    results = []
+    elo = 0.0
+    for i in range(0, len(ckpts) - interval, interval):
+        va = load_checkpoint_variables(os.path.join(model_dir, ckpts[i + interval]), cfg, net, env.spec)
+        vb = load_checkpoint_variables(os.path.join(model_dir, ckpts[i]), cfg, net, env.spec)
+        r = play_match(cfg, va, vb, num_games=num_games, seed=seed + i)
+        elo += elo_from_win_rate(r.p1_win_rate)
+        results.append({
+            "new": ckpts[i + interval], "old": ckpts[i],
+            "win_rate": r.p1_win_rate, "elo": elo,
+            "wins": r.p1_wins, "losses": r.p2_wins, "draws": r.draws,
+        })
+    return results
+
+
+def fight_eval(cfg: Config, run_dir_a: str, run_dir_b: str, iteration: str,
+               num_games: int = 100, seed: int = 0) -> Dict:
+    """Cross-run same-iteration match (reference tools/fight-eval.sh)."""
+    env = make_env(cfg)
+    net = create_network(cfg, env.spec)
+    pa = os.path.join(run_dir_a, "model", iteration)
+    pb = os.path.join(run_dir_b, "model", iteration)
+    va = load_checkpoint_variables(pa, cfg, net, env.spec)
+    vb = load_checkpoint_variables(pb, cfg, net, env.spec)
+    r = play_match(cfg, va, vb, num_games=num_games, seed=seed)
+    return {
+        "a": pa, "b": pb, "win_rate_a": r.p1_win_rate,
+        "elo_diff": elo_from_win_rate(r.p1_win_rate),
+        "wins": r.p1_wins, "losses": r.p2_wins, "draws": r.draws,
+    }
+
+
+def run_eval_cli(cfg: Config, args) -> int:
+    results = self_eval(cfg, args.run_dir, num_games=args.num_games)
+    for row in results:
+        print(
+            f"{row['new']} vs {row['old']}: win_rate={row['win_rate']:.3f} "
+            f"elo={row['elo']:.1f} ({row['wins']}W/{row['losses']}L/{row['draws']}D)"
+        )
+    return 0

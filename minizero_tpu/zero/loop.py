@@ -204,3 +204,11 @@ class ZeroLoop:
             self.self_play_iteration(iteration)
             self.optimize_iteration(iteration)
             self.save_checkpoint()
+            try:
+                # regenerate analysis plots each iteration (reference
+                # learner/train.py:231)
+                from minizero_tpu.tools.analysis import analysis
+
+                analysis(self.run_dir)
+            except Exception as e:  # plotting must never kill training
+                self.log(f"[Analysis] skipped: {e}")

@@ -1,0 +1,68 @@
+"""End-to-end zero loop + analysis plots + SGF conversion."""
+
+import os
+
+import numpy as np
+import pytest
+
+from minizero_tpu.config import default_config
+
+
+@pytest.mark.slow
+def test_zero_loop_analysis_and_sgf(tmp_path):
+    from minizero_tpu.tools.analysis import analysis, parse_op_log, parse_training_log
+    from minizero_tpu.tools.to_sgf import convert_file, record_to_sgf
+    from minizero_tpu.zero.loop import ZeroLoop
+
+    cfg = default_config(
+        "tictactoe",
+        actor_num_simulation=4,
+        nn_num_blocks=1,
+        nn_num_hidden_channels=8,
+        nn_num_value_hidden_channels=8,
+        zero_num_parallel_games=4,
+        zero_num_games_per_iteration=4,
+        zero_end_iteration=1,
+        learner_training_step=2,
+        learner_training_display_step=1,
+        learner_batch_size=8,
+    )
+    run_dir = str(tmp_path / "run")
+    loop = ZeroLoop(cfg, run_dir)
+    loop.run()
+
+    # logs parse and contain per-iteration stats
+    tl = parse_training_log(os.path.join(run_dir, "Training.log"))
+    assert tl["iteration"] == [1]
+    assert len(tl["length_avg"]) == 1
+    op = parse_op_log(os.path.join(run_dir, "op.log"))
+    assert len(op["step"]) == 2
+    assert "loss_policy" in op
+
+    # analysis plots written
+    written = analysis(run_dir)
+    assert any(p.endswith(".png") for p in written)
+    assert all(os.path.getsize(p) > 0 for p in written)
+
+    # checkpoints exist
+    ckpts = os.listdir(os.path.join(run_dir, "model"))
+    assert any(c.endswith(".ckpt") for c in ckpts)
+
+    # record file converts to standard SGF
+    sgf_in = os.path.join(run_dir, "sgf", "1.sgf")
+    sgf_out = str(tmp_path / "out.sgf")
+    n = convert_file(sgf_in, sgf_out)
+    assert n == 4
+    text = open(sgf_out).read()
+    assert text.startswith("(;FF[4]")
+    assert ";B[" in text and "SZ[3]" in text
+
+
+def test_record_to_sgf_coords():
+    from minizero_tpu.tools.to_sgf import action_to_sgf_coord, record_to_sgf
+
+    assert action_to_sgf_coord(0, 9) == "ai"  # x=0, y=0 -> bottom-left
+    assert action_to_sgf_coord(80, 9) == "ia"
+    assert action_to_sgf_coord(81, 9) == ""  # pass
+    sgf = record_to_sgf("(;GM[go_9x9]RE[1]SZ[9];B[40]P[40:1]V[0.5]R[0])")
+    assert ";B[ee]" in sgf

@@ -1,0 +1,113 @@
+"""Multi-device / multi-host plumbing.
+
+TPU-native replacement for the reference's TCP-server + NFS distribution
+triangle (SURVEY.md §2.6): instead of worker processes streaming SGF lines to
+a server and reading model files off NFS, self-play batches shard over the
+``dp`` axis of a device mesh (weights replicated — broadcast over ICI by
+XLA), the train step shards its batch the same way with gradient ``psum``
+inserted automatically, and multiple hosts join one global mesh via
+``jax.distributed`` with per-host data fed through
+``make_array_from_process_local_data``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from minizero_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Tuple[int, int]:
+    """Join the multi-host job (reference: workers dial the TCP server,
+    ``scripts/zero-worker.sh:118-136``; here hosts join the JAX coordinator).
+
+    No-op for single-host runs. Arguments default to the standard
+    ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``
+    environment variables.
+    """
+    coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator_address:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes or int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+            process_id=process_id or int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
+    return jax.process_index(), jax.process_count()
+
+
+class ShardedSelfPlay:
+    """Shards a self-play engine's batch over the mesh's ``dp`` axis.
+
+    Variables replicate; env states shard on the leading (game) dim. The
+    engine's jitted ``move`` is reused unchanged — XLA propagates the input
+    shardings through the whole fused search, so every device advances its
+    slice of games and inference batches stay device-local (the TPU analogue
+    of one network replica per GPU, ``actor_group.cpp:168-177``).
+    """
+
+    def __init__(self, engine, mesh: Mesh):
+        self.engine = engine
+        self.mesh = mesh
+        self._batch_sharding = batch_sharding(mesh)
+        self._replicated = replicated(mesh)
+
+    def place_variables(self, variables):
+        return jax.device_put(variables, self._replicated)
+
+    def init_batch(self, batch_size: int, rng=None):
+        assert batch_size % self.mesh.shape["dp"] == 0, (
+            f"self-play batch {batch_size} must divide over dp={self.mesh.shape['dp']}"
+        )
+        states = self.engine.init_batch(batch_size, rng)
+        return jax.device_put(
+            states, jax.tree_util.tree_map(lambda _: self._batch_sharding, states)
+        )
+
+    def move(self, variables, states, rng, temperature: float = 1.0):
+        return self.engine.move(variables, states, rng, temperature)
+
+    def reset_slots(self, states, mask, rng=None):
+        out = self.engine.reset_slots(states, mask, rng)
+        return jax.device_put(
+            out, jax.tree_util.tree_map(lambda _: self._batch_sharding, out)
+        )
+
+
+def global_batch_from_local(mesh: Mesh, local_batch: dict) -> dict:
+    """Assemble a globally-sharded training batch from per-process host data
+    (multi-host data plane; single-process: plain device_put)."""
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sharding) for k, v in local_batch.items()}
+    return {
+        k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        for k, v in local_batch.items()
+    }
+
+
+def make_sharded_train_step(cfg, env, network, mesh: Mesh, state):
+    """Jit the train step with replicated state and dp-sharded batch; XLA
+    inserts the gradient all-reduce over ICI (replaces nn.DataParallel,
+    ``learner/train.py:119``)."""
+    from minizero_tpu.learner.train import make_train_step
+    from minizero_tpu.parallel.mesh import param_shardings
+
+    state_shardings = jax.tree_util.tree_map(lambda _: replicated(mesh), state)
+    state_shardings = state_shardings.replace(params=param_shardings(mesh, state.params))
+    placed_state = jax.device_put(state, state_shardings)
+    step = jax.jit(
+        make_train_step(cfg, env, network),
+        in_shardings=(state_shardings, None, None),
+        out_shardings=(state_shardings, None),
+        donate_argnums=0,
+    )
+    return step, placed_state, state_shardings

@@ -18,6 +18,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from minizero_tpu import native
 from minizero_tpu.learner.replay import GameRecord
 
 _PLAYER_CHARS = {1: "B", 2: "W"}
@@ -54,12 +55,26 @@ def serialize_game(
         tags.update(extra_tags)
     parts = ["(;"]
     parts.extend(f"{k}[{_escape(v)}]" for k, v in tags.items())
-    for i in range(record.length):
-        player = players[i] if players else (1 if i % 2 == 0 else 2)
-        parts.append(f";{_PLAYER_CHARS[player]}[{record.actions[i]}]")
-        parts.append(f"P[{_policy_string(np.asarray(record.policy[i], np.float32))}]")
-        parts.append(f"V[{record.values[i]:g}]")
-        parts.append(f"R[{record.rewards[i]:g}]")
+    player_arr = np.asarray(
+        players if players else [(1 if i % 2 == 0 else 2) for i in range(record.length)],
+        np.int8,
+    )
+    moves = native.serialize_moves(
+        np.asarray(record.actions, np.int32),
+        player_arr,
+        np.asarray(record.policy, np.float32),
+        np.asarray(record.values, np.float32),
+        np.asarray(record.rewards, np.float32),
+    )
+    if moves is None:  # pure-Python fallback (no native toolchain)
+        chunks = []
+        for i in range(record.length):
+            chunks.append(f";{_PLAYER_CHARS[int(player_arr[i])]}[{record.actions[i]}]")
+            chunks.append(f"P[{_policy_string(np.asarray(record.policy[i], np.float32))}]")
+            chunks.append(f"V[{record.values[i]:g}]")
+            chunks.append(f"R[{record.rewards[i]:g}]")
+        moves = "".join(chunks)
+    parts.append(moves)
     parts.append(")")
     return "".join(parts)
 

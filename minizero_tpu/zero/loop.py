@@ -52,9 +52,11 @@ def temperature_for_iteration(cfg: Config, iteration: int) -> float:
 
 
 class ZeroLoop:
-    def __init__(self, cfg: Config, run_dir: str, selfplay_batch: Optional[int] = None, seed: int = 0):
+    def __init__(self, cfg: Config, run_dir: str, selfplay_batch: Optional[int] = None, seed: int = 0,
+                 mesh=None):
         self.cfg = cfg
         self.run_dir = run_dir
+        self.mesh = mesh
         os.makedirs(os.path.join(run_dir, "model"), exist_ok=True)
         os.makedirs(os.path.join(run_dir, "sgf"), exist_ok=True)
 
@@ -68,7 +70,21 @@ class ZeroLoop:
         self.engine = SelfPlayEngine(self.env, cfg, self.network)
         self.buffer = ReplayBuffer(cfg, self.env.spec)
         self.selfplay_batch = selfplay_batch or cfg.zero_num_parallel_games
-        self._train_step = jax.jit(make_train_step(cfg, self.env, self.network), donate_argnums=0)
+        if mesh is not None:
+            # multi-device: self-play batch + train batch shard over dp,
+            # weights replicate, gradients all-reduce over ICI
+            from minizero_tpu.parallel.distributed import (
+                ShardedSelfPlay,
+                make_sharded_train_step,
+            )
+
+            self.sharded = ShardedSelfPlay(self.engine, mesh)
+            self._train_step, self.state, self._state_shardings = make_sharded_train_step(
+                cfg, self.env, self.network, mesh, self.state
+            )
+        else:
+            self.sharded = None
+            self._train_step = jax.jit(make_train_step(cfg, self.env, self.network), donate_argnums=0)
         self.np_rng = np.random.RandomState(cfg.program_seed + 1)
         self.is_muzero = cfg.nn_type_name.lower() != "alphazero"
         self._log_file = open(os.path.join(run_dir, "Training.log"), "a")
@@ -99,18 +115,19 @@ class ZeroLoop:
         temperature = temperature_for_iteration(cfg, iteration)
         collector = TrajectoryCollector(cfg, self.env.spec, self.selfplay_batch, seed=cfg.program_seed + iteration)
         self.rng, k_init = jax.random.split(self.rng)
-        states = self.engine.init_batch(self.selfplay_batch, k_init)
+        sp = self.sharded or self.engine
+        states = sp.init_batch(self.selfplay_batch, k_init)
         num_games, lengths, returns = 0, [], []
         record_path = os.path.join(self.run_dir, "sgf", f"{iteration}.sgf")
         t0 = time.time()
         with open(record_path, "a") as record_file:
             while num_games < cfg.zero_num_games_per_iteration:
                 self.rng, k = jax.random.split(self.rng)
-                out = self.engine.move(self.variables, states, k, temperature)
+                out = sp.move(self.variables, states, k, temperature)
                 finished, reset_mask = collector.add_moves(out)
                 if reset_mask.any():
                     self.rng, k_reset = jax.random.split(self.rng)
-                    states = self.engine.reset_slots(out.states, reset_mask, k_reset)
+                    states = sp.reset_slots(out.states, reset_mask, k_reset)
                 else:
                     states = out.states
                 for fg in finished:
@@ -161,7 +178,12 @@ class ZeroLoop:
             else:
                 batch = self.buffer.sample_alphazero(cfg.learner_batch_size, self.np_rng)
             batch.pop("sampled_index")
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if self.mesh is not None:
+                from minizero_tpu.parallel.distributed import global_batch_from_local
+
+                batch = global_batch_from_local(self.mesh, batch)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
             self.rng, k = jax.random.split(self.rng)
             self.state, metrics = self._train_step(self.state, batch, k)
             for key, val in metrics.items():

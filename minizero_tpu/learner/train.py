@@ -137,9 +137,19 @@ def _augment_rotation(env: Env, rng, feats, policies, actions=None):
 
 def make_train_step(cfg: Config, env: Env, network):
     """Returns ``train_step(state, batch, rng) -> (state, metrics)`` (one
-    optimizer update; the reference's per-step body, train.py:163-219)."""
+    optimizer update; the reference's per-step body, train.py:163-219).
+    With PER enabled, metrics carry ``_new_values`` — the fresh root value
+    estimates used to refresh sampled priorities (reference
+    train.py:208-209)."""
     tx = make_optimizer(cfg)
     value_size = env.spec.discrete_value_size
+
+    def _scalar_value(out):
+        if value_size == 1:
+            return jax.lax.stop_gradient(out["value"][:, 0])
+        from minizero_tpu.utils.transforms import from_discrete_value
+
+        return jax.lax.stop_gradient(from_discrete_value(out["value"]))
     is_muzero = cfg.nn_type_name.lower() != "alphazero"
     k_unroll = cfg.learner_muzero_unrolling_step
 
@@ -166,6 +176,8 @@ def make_train_step(cfg: Config, env: Env, network):
             "loss_value": loss_v,
             "accuracy_policy": _policy_accuracy(out["policy_logit"], policy_label),
         }
+        if cfg.learner_use_per:
+            metrics["_new_values"] = _scalar_value(out)
         return loss, (mutated["batch_stats"], metrics)
 
     def muzero_loss(params, batch_stats, batch, rng):
@@ -185,6 +197,7 @@ def make_train_step(cfg: Config, env: Env, network):
         loss_v = _value_loss(cfg, out, value_label[:, 0], ls, value_size)
         loss_r = 0.0
         acc0 = _policy_accuracy(out["policy_logit"], policy_label[:, 0])
+        root_value = _scalar_value(out) if cfg.learner_use_per else None
         hidden = out["hidden_state"]
         # k-step unroll through dynamics (reference train.py:195-210)
         for i in range(k_unroll):
@@ -211,6 +224,8 @@ def make_train_step(cfg: Config, env: Env, network):
             "loss_reward": jnp.asarray(loss_r, jnp.float32),
             "accuracy_policy": acc0,
         }
+        if root_value is not None:
+            metrics["_new_values"] = root_value
         return loss, (batch_stats, metrics)
 
     loss_fn = muzero_loss if is_muzero else alphazero_loss

@@ -177,7 +177,7 @@ class ZeroLoop:
                 batch = self.buffer.sample_muzero(cfg.learner_batch_size, self.np_rng)
             else:
                 batch = self.buffer.sample_alphazero(cfg.learner_batch_size, self.np_rng)
-            batch.pop("sampled_index")
+            sampled_index = batch.pop("sampled_index")
             if self.mesh is not None:
                 from minizero_tpu.parallel.distributed import global_batch_from_local
 
@@ -186,6 +186,16 @@ class ZeroLoop:
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
             self.rng, k = jax.random.split(self.rng)
             self.state, metrics = self._train_step(self.state, batch, k)
+            if cfg.learner_use_per and "_new_values" in metrics:
+                # refresh sampled priorities from the fresh net values
+                # (reference train.py:208-209, data_loader.cpp:233-253)
+                new_values = np.asarray(metrics.pop("_new_values"))
+                pri = np.empty(len(sampled_index), np.float32)
+                for j, (g, p) in enumerate(sampled_index):
+                    rec = self.buffer.games[g]
+                    pri[j] = abs(self.buffer.value_target(rec, int(p)) - float(new_values[j])) + 1e-6
+                self.buffer.update_priority(sampled_index, pri)
+            metrics.pop("_new_values", None)
             for key, val in metrics.items():
                 totals[key] = totals.get(key, 0.0) + float(val)
             if step % cfg.learner_training_display_step == 0:

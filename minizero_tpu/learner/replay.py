@@ -54,6 +54,9 @@ class ReplayBuffer:
     def __init__(self, cfg, env_spec):
         self.cfg = cfg
         self.spec = env_spec
+        # annealed by the zero loop per iteration (reference
+        # zero_server.cpp:304-306)
+        self.per_beta = cfg.learner_per_init_beta
         self.capacity = cfg.zero_replay_buffer * cfg.zero_num_games_per_iteration
         self.games: List[GameRecord] = []
         self.game_priorities: List[float] = []
@@ -148,7 +151,7 @@ class ReplayBuffer:
             s = pp.sum()
             pos_ids[i] = rng.choice(len(pp), p=pp / s)
             prob = pp[pos_ids[i]] / total
-            loss_scale[i] = (self.num_data * prob) ** (-self.cfg.learner_per_init_beta)
+            loss_scale[i] = (self.num_data * prob) ** (-self.per_beta)
         # normalise by batch max (reference train.py:63)
         loss_scale = loss_scale / max(loss_scale.max(), 1e-12)
         return game_ids, pos_ids, loss_scale

@@ -37,6 +37,15 @@ from minizero_tpu.selfplay.engine import SelfPlayEngine
 from minizero_tpu.selfplay.record import serialize_game
 
 
+def per_beta_for_iteration(cfg: Config, iteration: int) -> float:
+    """Linear anneal of the PER importance exponent toward 1
+    (reference zero_server.cpp:304-306)."""
+    if not (cfg.learner_use_per and cfg.learner_per_beta_anneal):
+        return cfg.learner_per_init_beta
+    b0 = cfg.learner_per_init_beta
+    return min(b0 + (iteration / max(cfg.zero_end_iteration, 1)) * (1.0 - b0), 1.0)
+
+
 def temperature_for_iteration(cfg: Config, iteration: int) -> float:
     """1.0 / 0.5 / 0.25 for 0-50% / 50-75% / 75-100% of total iterations
     (reference zero_server.cpp:301-315)."""
@@ -170,6 +179,7 @@ class ZeroLoop:
     # ------------------------------------------------------------ optimizing
     def optimize_iteration(self, iteration: int) -> Dict[str, float]:
         cfg = self.cfg
+        self.buffer.per_beta = per_beta_for_iteration(cfg, iteration)
         totals: Dict[str, float] = {}
         t0 = time.time()
         for step in range(1, cfg.learner_training_step + 1):

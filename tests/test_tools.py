@@ -66,3 +66,33 @@ def test_record_to_sgf_coords():
     assert action_to_sgf_coord(81, 9) == ""  # pass
     sgf = record_to_sgf("(;GM[go_9x9]RE[1]SZ[9];B[40]P[40:1]V[0.5]R[0])")
     assert ";B[ee]" in sgf
+
+
+def test_plot_board(tmp_path):
+    from minizero_tpu.tools.plot_board import board_from_record, plot_board
+
+    rec = "(;GM[go_5x5]RE[1]SZ[5];B[12]P[12:1]V[0.5]R[0];W[0]P[0:1]V[0.1]R[0])"
+    env, state = board_from_record(rec, env_name="go")
+    out = plot_board(env, state, str(tmp_path / "b.png"), title="test")
+    assert os.path.getsize(out) > 0
+
+
+def test_obs_pack_roundtrip_and_remove():
+    from minizero_tpu.tools.obs import (
+        pack_observations,
+        recover_obs,
+        remove_obs,
+        unpack_observations,
+    )
+
+    obs = (np.arange(2 * 4 * 4 * 3) % 251).astype(np.uint8).reshape(2, 4, 4, 3)
+    payload = pack_observations(obs)
+    np.testing.assert_array_equal(unpack_observations(payload), obs)
+
+    rec = f"(;GM[atari_pong]SD[7];B[3]P[3:1]V[0]R[1]OBS[{payload}])"
+    stripped = remove_obs(rec)
+    assert "OBS[" not in stripped
+    recovered = recover_obs(stripped, lambda r: obs)
+    np.testing.assert_array_equal(
+        unpack_observations(recovered.split("OBS[")[1].split("]")[0]), obs
+    )

@@ -163,7 +163,9 @@ def main(argv=None) -> int:
     if args.mode == "zero":
         from minizero_tpu.zero.loop import ZeroLoop
 
-        ZeroLoop(cfg, args.run_dir).run()
+        loop = ZeroLoop(cfg, args.run_dir)
+        loop.resume()  # continue mode when the run dir has checkpoints
+        loop.run()
         return 0
     if args.mode == "eval":
         from minizero_tpu.eval.match import run_eval_cli

@@ -238,6 +238,60 @@ class ZeroLoop:
             payload = pickle.load(f)
         self.state = serialization.from_bytes(self.state, payload["state"])
 
+    # ---------------------------------------------------------------- resume
+    def _rebuild_features(self, actions: np.ndarray) -> np.ndarray:
+        """Replay actions to regenerate per-position feature planes (the
+        records store targets only; reference rebuilds its buffer by
+        re-parsing sgf files, train.py:40-48)."""
+        env = self.env
+        state = env.init()
+        feats = []
+        step = jax.jit(env.step)
+        feat = jax.jit(env.features)
+        for a in actions:
+            feats.append(np.asarray(feat(state), np.uint8))
+            state = step(state, jnp.int32(int(a)))
+        if not feats:
+            spec = env.spec
+            return np.zeros((0, spec.input_height, spec.input_width, spec.num_input_channels), np.uint8)
+        return np.stack(feats)
+
+    def resume(self) -> int:
+        """Continue mode (reference zero-server.sh:116-128): load the latest
+        checkpoint and rebuild the replay window from the last
+        ``zero_replay_buffer`` iterations' record files. Returns the
+        iteration to continue from."""
+        from minizero_tpu.selfplay.record import game_record_from_string
+
+        model_dir = os.path.join(self.run_dir, "model")
+        ckpts = sorted(
+            (f for f in os.listdir(model_dir) if f.endswith(".ckpt")),
+            key=lambda f: int(f.split("_")[-1].split(".")[0]),
+        ) if os.path.isdir(model_dir) else []
+        if not ckpts:
+            return self.cfg.zero_start_iteration
+        self.load_checkpoint(os.path.join(model_dir, ckpts[-1]))
+        start_iter = int(self.state.step) // max(self.cfg.learner_training_step, 1)
+        sgf_dir = os.path.join(self.run_dir, "sgf")
+        lo = max(1, start_iter - self.cfg.zero_replay_buffer + 1)
+        loaded = 0
+        for it in range(lo, start_iter + 1):
+            path = os.path.join(sgf_dir, f"{it}.sgf")
+            if not os.path.exists(path):
+                continue
+            for line in open(path):
+                line = line.strip()
+                if not line:
+                    continue
+                _, rec = game_record_from_string(
+                    line, self.env.spec.action_size, feature_builder=self._rebuild_features
+                )
+                self.buffer.add_game(rec)
+                loaded += 1
+        self.cfg = self.cfg.replace(zero_start_iteration=start_iter)
+        self.log(f"[Resume] iteration {start_iter}, {loaded} games reloaded")
+        return start_iter
+
     # -------------------------------------------------------------- the loop
     def run(self) -> None:
         cfg = self.cfg

@@ -96,3 +96,38 @@ def test_obs_pack_roundtrip_and_remove():
     np.testing.assert_array_equal(
         unpack_observations(recovered.split("OBS[")[1].split("]")[0]), obs
     )
+
+
+@pytest.mark.slow
+def test_zero_loop_resume(tmp_path):
+    from minizero_tpu.zero.loop import ZeroLoop
+
+    cfg = default_config(
+        "tictactoe",
+        actor_num_simulation=4,
+        nn_num_blocks=1,
+        nn_num_hidden_channels=8,
+        nn_num_value_hidden_channels=8,
+        zero_num_parallel_games=4,
+        zero_num_games_per_iteration=4,
+        zero_end_iteration=1,
+        learner_training_step=2,
+        learner_training_display_step=1,
+        learner_batch_size=8,
+    )
+    run_dir = str(tmp_path / "run")
+    ZeroLoop(cfg, run_dir).run()
+
+    # fresh loop resumes: picks up the checkpoint + reloads the buffer with
+    # replayed features
+    cfg2 = cfg.replace(zero_end_iteration=2)
+    loop2 = ZeroLoop(cfg2, run_dir)
+    start = loop2.resume()
+    assert start == 1
+    assert int(loop2.state.step) == 2
+    assert len(loop2.buffer) == 4
+    rec = loop2.buffer.games[0]
+    assert rec.features.shape[1:] == (3, 3, 4)
+    assert rec.features.any()  # replayed, not zero-filled
+    loop2.run()
+    assert int(loop2.state.step) == 4

@@ -153,29 +153,66 @@ class SelfPlayEngine:
         feats = jax.vmap(env.features)(states)
         features_u8 = jnp.clip(feats * 255.0, 0, 255).astype(jnp.uint8) if env.spec.name.startswith("atari") \
             else feats.astype(jnp.uint8)
+        legal = jax.vmap(env.legal_mask)(states)
 
         rng, k_rot, k_noise = jax.random.split(rng, 3)
         variables = self._cast_variables(variables)
 
-        # ---- root evaluation (simulation 0; reference zero_actor.cpp:51-72)
         if self.is_muzero:
-            out = self.network.apply(
-                variables, feats.astype(self.compute_dtype), train=False,
-                method=self.network.initial_inference,
+            # the whole search (root inference + simulations + action) is the
+            # shared device-side MuZero search (selfplay/muzero_search.py)
+            from minizero_tpu.selfplay.muzero_search import make_muzero_search
+
+            search = make_muzero_search(
+                self.network, spec, env.action_features, env.spec.num_players,
+                discrete_value=env.spec.discrete_value_size > 1,
+                compute_dtype=self.compute_dtype,
+                resign_threshold=self.cfg.actor_resign_threshold,
             )
-            policy = out["policy"].astype(jnp.float32)
-            logits = out["policy_logit"].astype(jnp.float32)
-            value = self._scalar_value(out)
-            root_embedding = out["hidden_state"]
+            res = search(variables, feats, legal, turns.astype(jnp.int32), rng, temperature)
+            action, policy_target, root_value, resign = (
+                res.action, res.policy_target, res.root_value, res.resign,
+            )
         else:
-            policy, logits, value = self._forward_features(
-                variables, feats, jax.random.split(k_rot, batch)
+            action, policy_target, root_value, resign = self._alphazero_search(
+                variables, states, feats, legal, turns, rng, k_rot, k_noise, temperature
             )
-            root_embedding = states
+
+        stepped = jax.vmap(env.step)(states, action)
+        done = jax.vmap(env.is_terminal)(stepped)
+        eval_score = jax.vmap(env.eval_score)(stepped)
+        reward_after = jax.vmap(env.reward)(stepped)
+        resign_score = jax.vmap(env.resign_eval_score)(states)
+
+        return MoveOutput(
+            action=action,
+            turn=turns.astype(jnp.int32),
+            policy_target=policy_target,
+            root_value=root_value,
+            reward=reward_after,
+            resign=resign,
+            features=features_u8,
+            states=stepped,
+            done=done,
+            eval_score=eval_score,
+            resign_score=resign_score,
+        )
+
+    def _alphazero_search(self, variables, states, feats, legal, turns, rng, k_rot, k_noise, temperature):
+        """AlphaZero search: env states ride inside the tree as node
+        embeddings, leaves are stepped envs evaluated on their true features
+        (the TPU replacement for the reference's env-replay-to-leaf,
+        zero_actor.cpp:247-252)."""
+        env, spec = self.env, self.spec
+        batch = feats.shape[0]
+
+        policy, logits, value = self._forward_features(
+            variables, feats, jax.random.split(k_rot, batch)
+        )
+        root_embedding = states
 
         proto = jax.tree_util.tree_map(lambda x: x[0], root_embedding)
         trees = jax.vmap(lambda t: mcts.init_tree(spec, proto, t))(turns)
-        legal = jax.vmap(env.legal_mask)(states)
         no_parent = jnp.full((batch,), -1, jnp.int32)
         zeros_i = jnp.zeros((batch,), jnp.int32)
         falses = jnp.zeros((batch,), bool)
@@ -192,7 +229,6 @@ class SelfPlayEngine:
         if spec.use_gumbel:
             trees = jax.vmap(functools.partial(gz.init_candidates, spec))(trees)
 
-        # ---- simulations 1..n
         def sim_body(s, carry):
             trees, rng = carry
             rng, k_rot = jax.random.split(rng)
@@ -206,46 +242,27 @@ class SelfPlayEngine:
                 trees.embedding,
             )
 
-            if self.is_muzero:
-                action_planes = jax.vmap(env.action_features)(sel.action).astype(self.compute_dtype)
-                out = self.network.apply(
-                    variables, parent_embedding, action_planes, train=False,
-                    method=self.network.recurrent_inference,
-                )
-                policy = out["policy"].astype(jnp.float32)
-                logits = out["policy_logit"].astype(jnp.float32)
-                value = self._scalar_value(out)
-                reward = self._scalar_reward(out)
-                leaf_embedding = out["hidden_state"]
-                leaf_terminal = jnp.zeros((batch,), bool)
-                leaf_legal = jnp.ones((batch, spec.action_size), bool)
-                leaf_turn = jnp.where(
-                    jnp.int32(env.spec.num_players) == 1,
-                    jnp.ones_like(sel.parent),
-                    3 - jax.vmap(lambda t, p: t.to_play[jnp.maximum(p, 0)])(trees, sel.parent),
-                )
-            else:
-                leaf_states = jax.vmap(env.step)(parent_embedding, sel.action)
-                leaf_terminal = jax.vmap(env.is_terminal)(leaf_states)
-                leaf_feats = jax.vmap(env.features)(leaf_states)
-                policy, logits, net_value = self._forward_features(
-                    variables, leaf_feats, jax.random.split(k_rot, batch)
-                )
-                # terminal leaves back up the true outcome instead of the net
-                # value (reference zero_actor.cpp:79-86); scoring (the most
-                # expensive env query) runs only when some lane actually
-                # reached a terminal state
-                scores = jax.lax.cond(
-                    jnp.any(leaf_terminal),
-                    lambda s: jax.vmap(env.eval_score)(s),
-                    lambda s: jnp.zeros((batch,), jnp.float32),
-                    leaf_states,
-                )
-                value = jnp.where(leaf_terminal, scores, net_value)
-                reward = jax.vmap(env.reward)(leaf_states)
-                leaf_embedding = leaf_states
-                leaf_legal = jax.vmap(env.legal_mask)(leaf_states)
-                leaf_turn = jax.vmap(env.turn)(leaf_states)
+            leaf_states = jax.vmap(env.step)(parent_embedding, sel.action)
+            leaf_terminal = jax.vmap(env.is_terminal)(leaf_states)
+            leaf_feats = jax.vmap(env.features)(leaf_states)
+            policy, logits, net_value = self._forward_features(
+                variables, leaf_feats, jax.random.split(k_rot, batch)
+            )
+            # terminal leaves back up the true outcome instead of the net
+            # value (reference zero_actor.cpp:79-86); scoring (the most
+            # expensive env query) runs only when some lane actually
+            # reached a terminal state
+            scores = jax.lax.cond(
+                jnp.any(leaf_terminal),
+                lambda s: jax.vmap(env.eval_score)(s),
+                lambda s: jnp.zeros((batch,), jnp.float32),
+                leaf_states,
+            )
+            value = jnp.where(leaf_terminal, scores, net_value)
+            reward = jax.vmap(env.reward)(leaf_states)
+            leaf_embedding = leaf_states
+            leaf_legal = jax.vmap(env.legal_mask)(leaf_states)
+            leaf_turn = jax.vmap(env.turn)(leaf_states)
 
             node_idx = jnp.full((batch,), s, jnp.int32)
 
@@ -297,27 +314,7 @@ class SelfPlayEngine:
         resign = jax.vmap(
             lambda t, a: mcts.is_resign(spec, t, a, self.cfg.actor_resign_threshold)
         )(trees, action)
-        root_value = trees.mean[:, 0]
-
-        stepped = jax.vmap(env.step)(states, action)
-        done = jax.vmap(env.is_terminal)(stepped)
-        eval_score = jax.vmap(env.eval_score)(stepped)
-        reward_after = jax.vmap(env.reward)(stepped)
-        resign_score = jax.vmap(env.resign_eval_score)(states)
-
-        return MoveOutput(
-            action=action,
-            turn=turns.astype(jnp.int32),
-            policy_target=policy_target,
-            root_value=root_value,
-            reward=reward_after,
-            resign=resign,
-            features=features_u8,
-            states=stepped,
-            done=done,
-            eval_score=eval_score,
-            resign_score=resign_score,
-        )
+        return action, policy_target, trees.mean[:, 0], resign
 
     def move(self, variables, states, rng, temperature: float = 1.0) -> MoveOutput:
         return self._move(variables, states, rng, jnp.float32(temperature))

@@ -53,6 +53,16 @@ _TABLE: Dict[str, Tuple[str, str, Callable[..., Dict[str, Any]], Dict[str, Any]]
         },
         {"env_board_size": 15, "actor_dirichlet_noise_alpha": 0.03},
     ),
+    "outer_open_gomoku": (
+        "minizero_tpu.envs.gomoku",
+        "GomokuEnv",
+        lambda cfg: {
+            "board_size": cfg.env_board_size or 15,
+            "exactly_five": cfg.env_gomoku_exactly_five_stones,
+            "rule": "outer_open",
+        },
+        {"env_board_size": 15, "actor_dirichlet_noise_alpha": 0.03},
+    ),
     "hex": (
         "minizero_tpu.envs.hex",
         "HexEnv",

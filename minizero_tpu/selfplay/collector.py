@@ -49,7 +49,13 @@ class TrajectoryCollector:
             "enable_resign": enable_resign,
         }
 
-    def add_moves(self, out) -> Tuple[List[FinishedGame], np.ndarray]:
+    def add_moves_masked(self, out, active: np.ndarray) -> Tuple[List[FinishedGame], np.ndarray]:
+        """Like ``add_moves`` but only for slots where ``active`` is True —
+        used by the pipelined loop to drop the speculative move of games
+        that already finished one step earlier."""
+        return self.add_moves(out, active=active)
+
+    def add_moves(self, out, active: Optional[np.ndarray] = None) -> Tuple[List[FinishedGame], np.ndarray]:
         """Feed one batched MoveOutput (host numpy views); returns finished
         games and the bool[B] mask of slots to reset."""
         action = np.asarray(out.action)
@@ -66,6 +72,8 @@ class TrajectoryCollector:
         finished: List[FinishedGame] = []
         reset_mask = np.zeros(self.batch, bool)
         for i in range(self.batch):
+            if active is not None and not active[i]:
+                continue
             slot = self._slots[i]
             if resign[i] and slot["enable_resign"] and len(slot["actions"]) > 0:
                 # resignation: the searched move is not played/recorded

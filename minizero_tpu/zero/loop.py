@@ -129,16 +129,27 @@ class ZeroLoop:
         num_games, lengths, returns = 0, [], []
         record_path = os.path.join(self.run_dir, "sgf", f"{iteration}.sgf")
         t0 = time.time()
+        pending = None  # double buffering: device computes move k+1 while the
+        # host collects move k (JAX async dispatch overlaps them; the
+        # reference overlaps via separate CPU/GPU phases, actor_group.cpp:136-148)
         with open(record_path, "a") as record_file:
             while num_games < cfg.zero_num_games_per_iteration:
                 self.rng, k = jax.random.split(self.rng)
                 out = sp.move(self.variables, states, k, temperature)
-                finished, reset_mask = collector.add_moves(out)
+                states = out.states  # optimistic: corrected after collection
+                if pending is None:
+                    pending = out
+                    continue
+                prev, pending = pending, out
+                finished, reset_mask = collector.add_moves(prev)
                 if reset_mask.any():
+                    # a game ended at move k: the optimistic move k+1 already
+                    # stepped finished slots, so re-collect it before reset
+                    finished2, reset_mask2 = collector.add_moves_masked(pending, ~reset_mask)
+                    finished.extend(finished2)
                     self.rng, k_reset = jax.random.split(self.rng)
-                    states = sp.reset_slots(out.states, reset_mask, k_reset)
-                else:
-                    states = out.states
+                    states = sp.reset_slots(pending.states, reset_mask | reset_mask2, k_reset)
+                    pending = None
                 for fg in finished:
                     self.buffer.add_game(fg.record)
                     record_file.write(

@@ -122,11 +122,13 @@ def run_selfplay(cfg, num_games: int, output: str) -> None:
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="minizero_tpu")
     parser.add_argument("-mode", default="console",
-                        choices=["console", "sp", "zero", "env_test", "zero_training_name", "eval"])
+                        choices=["console", "sp", "zero", "env_test", "zero_training_name",
+                                 "eval", "remove_obs", "recover_obs"])
     parser.add_argument("-conf_file", default="")
     parser.add_argument("-conf_str", default="")
     parser.add_argument("-gen", default="", help="generate an annotated config file and exit")
     parser.add_argument("-num_games", type=int, default=100)
+    parser.add_argument("-input", default="")
     parser.add_argument("-output", default="")
     parser.add_argument("-run_dir", default="training_result")
     parser.add_argument("-platform", default="",
@@ -171,6 +173,18 @@ def main(argv=None) -> int:
         from minizero_tpu.eval.match import run_eval_cli
 
         return run_eval_cli(cfg, args)
+    if args.mode == "remove_obs":
+        from minizero_tpu.tools.obs import remove_obs_file
+
+        n = remove_obs_file(args.input, args.output or args.input + ".noobs")
+        print(f"stripped OBS from {n} records")
+        return 0
+    if args.mode == "recover_obs":
+        # regeneration needs the env backend (e.g. ALE); reference
+        # obs_recover replays from the stored seed (obs_recover.h:19-83)
+        print("recover_obs requires a replayable env backend (ale_py); "
+              "use minizero_tpu.tools.obs.recover_obs with a replay callback")
+        return 1
     return 1
 
 

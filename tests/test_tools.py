@@ -131,3 +131,37 @@ def test_zero_loop_resume(tmp_path):
     assert rec.features.any()  # replayed, not zero-filled
     loop2.run()
     assert int(loop2.state.step) == 4
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.environ.get("MINIZERO_RUN_LEARNING_SMOKE"),
+    reason="~4 min; set MINIZERO_RUN_LEARNING_SMOKE=1 to run "
+    "(last manual run: trained-vs-init 40W/3L/5D, win_rate 0.885)",
+)
+def test_learning_smoke(tmp_path):
+    """Gumbel-AZ tictactoe actually learns: the trained net must clearly
+    beat its own initialization."""
+    import jax
+
+    from minizero_tpu.config import algorithm_preset
+    from minizero_tpu.eval.match import play_match
+    from minizero_tpu.models.factory import init_network
+    from minizero_tpu.zero.loop import ZeroLoop
+
+    over = dict(algorithm_preset("gaz"))
+    over.update(
+        actor_num_simulation=8, actor_gumbel_sample_size=8,
+        nn_num_blocks=1, nn_num_hidden_channels=32, nn_num_value_hidden_channels=32,
+        zero_num_parallel_games=32, zero_num_games_per_iteration=64,
+        zero_end_iteration=8, learner_training_step=30,
+        learner_training_display_step=10, learner_batch_size=128,
+        learner_learning_rate=0.05,
+    )
+    cfg = default_config("tictactoe", **over)
+    loop = ZeroLoop(cfg, str(tmp_path / "run"))
+    init_vars = init_network(loop.network, loop.env.spec, jax.random.PRNGKey(123))
+    loop.run()
+    r = play_match(cfg.replace(zero_num_parallel_games=16), loop.variables, init_vars,
+                   num_games=48, seed=9)
+    assert r.p1_win_rate > 0.7, f"expected clear improvement, got {r}"

@@ -121,9 +121,12 @@ class AtariTrajectoryCollector:
         self._slots: List[dict] = [self._new_slot() for _ in range(batch_size)]
 
     def _new_slot(self) -> dict:
+        # "offset" counts moves already trimmed from the front: the episode
+        # position of list index i is offset + i (the reference instead
+        # frees old observations in place, atari.cpp:86-91)
         return {
             "actions": [], "policy": [], "values": [], "rewards": [],
-            "features": [], "lives_lost": [], "emitted_until": 0,
+            "features": [], "lives_lost": [], "offset": 0,
         }
 
     def _margin(self) -> int:
@@ -142,7 +145,7 @@ class AtariTrajectoryCollector:
             slot["rewards"].append(float(out.reward[i]))
             slot["features"].append(out.features[i])
             slot["lives_lost"].append(bool(out.lives_lost[i]))
-            length = len(slot["actions"])
+            length = slot["offset"] + len(slot["actions"])
             if out.done[i]:
                 finished.append(self._emit(i, terminal=True, score=float(out.eval_score[i])))
                 self._slots[i] = self._new_slot()
@@ -153,10 +156,12 @@ class AtariTrajectoryCollector:
 
     def _emit(self, slot_idx: int, terminal: bool, score: float) -> FinishedGame:
         """Chunk emission (reference calculateTrainingDataRange,
-        actor_group.cpp:52-64), sliced to dense per-chunk arrays."""
+        actor_group.cpp:52-64), sliced to dense per-chunk arrays; emitted
+        prefixes are trimmed so memory stays bounded for 27k-move episodes."""
         cfg = self.cfg
         slot = self._slots[slot_idx]
-        length = len(slot["actions"])
+        offset = slot["offset"]
+        length = offset + len(slot["actions"])  # absolute episode positions
         seqlen = cfg.zero_actor_intermediate_sequence_length
         margin = self._margin()
         data_end = length - 1
@@ -172,7 +177,8 @@ class AtariTrajectoryCollector:
         # store [data_start .. min(len-1, data_end + margin)] so unroll/n-step
         # targets stay inside the chunk
         store_end = min(length - 1, data_end + margin)
-        sl = slice(data_start, store_end + 1)
+        assert data_start >= offset, "chunk start trimmed too aggressively"
+        sl = slice(data_start - offset, store_end + 1 - offset)
         record = GameRecord(
             actions=np.asarray(slot["actions"][sl], np.int32),
             policy=np.stack(slot["policy"][sl]),
@@ -183,4 +189,15 @@ class AtariTrajectoryCollector:
             data_range=(0, data_end - data_start),
             lives_lost=np.asarray(slot["lives_lost"][sl], bool),
         )
+        if not terminal and seqlen > 0:
+            # positions before the NEXT chunk's earliest possible start are
+            # never needed again: next data_start >= data_end + 1 - seqlen...
+            # keep one extra seqlen + margin of slack for the terminal
+            # back-extension
+            keep_from = max(offset, data_end + 1 - seqlen - margin)
+            drop = keep_from - offset
+            if drop > 0:
+                for key in ("actions", "policy", "values", "rewards", "features", "lives_lost"):
+                    del slot[key][:drop]
+                slot["offset"] = keep_from
         return FinishedGame(record=record, players=tuple([1] * record.length), slot=slot_idx)

@@ -23,7 +23,10 @@ import jax.numpy as jnp
 REFERENCE_ENV_STEPS_PER_S = 1000.0  # estimated reference GPU worker (see above)
 
 
-def main(batch_size: int = 512, measure_moves: int = 12) -> None:
+def main(batch_size: int = 1024, measure_moves: int = 12) -> None:
+    # round-1 sweep on the real chip: 512 -> 2992, 1024 -> 3790,
+    # 2048 -> 3884 env-steps/s; 1024 is the knee (2048 costs 2x latency
+    # for +2.5%)
     from minizero_tpu.config import algorithm_preset, default_config
     from minizero_tpu.envs import make_env
     from minizero_tpu.models.factory import create_network, init_network

@@ -20,6 +20,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: remote (tunnel) compiles of the fused engine
+# take ~13 min per shape — cache them across processes
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
 REFERENCE_ENV_STEPS_PER_S = 1000.0  # estimated reference GPU worker (see above)
 
 

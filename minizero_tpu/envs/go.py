@@ -102,6 +102,9 @@ class GoEnv(Env):
         self._nbr = jnp.asarray(nbr, jnp.int32)
         self._nbr_valid = jnp.asarray(valid)
         self._adj_f = jnp.asarray(adj)
+        # bf16 copy for the hot-path matmuls: operands are 0/1 or < 256, all
+        # exact in bf16; the MXU accumulates in f32, halving HBM traffic
+        self._adj_bf16 = jnp.asarray(adj, jnp.bfloat16)
         # deterministic additive dual Zobrist tables; 16-bit halves kept as
         # f32 for exact MXU accumulation (<= NN * 65535 < 2^24)
         rs = np.random.RandomState(20260817)
@@ -153,17 +156,17 @@ class GoEnv(Env):
         empty_f = (board == 0).astype(jnp.float32)
         onehot = (
             (labels[None, :] == jnp.arange(nn, dtype=jnp.int32)[:, None]) & occupied[None, :]
-        ).astype(jnp.float32)  # [B(labels), P]
+        ).astype(jnp.bfloat16)  # [B(labels), P]; 0/1 exact in bf16
         # block liberty counts: #empty points adjacent to any member
-        reach = jnp.dot(onehot, self._adj_f, preferred_element_type=jnp.float32)  # [B, P]
+        reach = jnp.dot(onehot, self._adj_bf16, preferred_element_type=jnp.float32)  # [B, P]
         lib_count = jnp.sum(jnp.where(reach > 0, empty_f[None, :], 0.0), axis=1)  # [B]
         lib_pad = jnp.concatenate([lib_count, jnp.zeros((1,))])
         lib_at = jnp.where(occupied, lib_pad[jnp.clip(labels, 0, nn)], 0.0).astype(jnp.int32)
-        # block Zobrist key-chunk sums (one MXU matmul; 8-bit chunks keep the
-        # bf16 inputs exact, f32 accumulation exact below 2^24)
+        # block Zobrist key-chunk sums (one MXU matmul; 8-bit chunks are
+        # integers < 256, exact in bf16; f32 accumulation exact below 2^24)
         colour = jnp.clip(board.astype(jnp.int32) - 1, 0, 1)
         pos = jnp.arange(nn)
-        chunks = jnp.where(occupied[:, None], self._key_chunks[pos, colour], 0.0)  # [P, 8]
+        chunks = jnp.where(occupied[:, None], self._key_chunks[pos, colour], 0.0).astype(jnp.bfloat16)  # [P, 8]
         block_chunks = jnp.dot(onehot, chunks, preferred_element_type=jnp.float32)  # [B, 8]
         return lib_at, onehot, block_chunks
 
@@ -190,8 +193,8 @@ class GoEnv(Env):
         # per-candidate key sums from a second small matmul over the exact
         # f32 sums (at most 4 blocks x < 2^15 per chunk -> exact).
         capturable_stone = (board == opp) & (lib_at == 1)
-        member_cap = onehot * capturable_stone[None, :].astype(jnp.float32)  # [B, P]
-        capB = jnp.dot(self._adj_f, member_cap.T, preferred_element_type=jnp.float32) > 0  # [P, B]
+        member_cap = onehot * capturable_stone[None, :].astype(jnp.bfloat16)  # [B, P]
+        capB = jnp.dot(self._adj_bf16, member_cap.T, preferred_element_type=jnp.float32) > 0  # [P, B]
         cap_chunks = jnp.dot(
             capB.astype(jnp.float32), block_chunks,
             precision=jax.lax.Precision.HIGHEST,

@@ -287,41 +287,71 @@ def expand_node(
     legal: jnp.ndarray,  # bool[A] candidate mask
     terminal: jnp.ndarray,  # bool: node is a terminal state -> not expanded
     embedding: Any,
+    enabled: jnp.ndarray = None,
 ) -> Tree:
     """Materialise node ``node_idx`` with its child candidate rows.
 
     Like the reference (``zero_actor.cpp:215-229``), priors keep the raw
     network softmax mass of each legal action WITHOUT renormalising over the
     legal subset.
+
+    All writes are iota-mask selects, NOT scatters: under ``vmap`` a
+    per-game dynamic index becomes a batched scatter, which TPUs lower
+    poorly; dense selects over the tiny [N(, A)] tree arrays are far
+    cheaper. ``enabled`` (traced bool) turns the whole expansion into a
+    no-op — letting the sim loop run expand+backup unconditionally instead
+    of through a vmapped ``lax.cond`` (which executes both branches anyway).
     """
+    if enabled is None:
+        enabled = jnp.bool_(True)
     expanded = ~terminal
-    new_embedding = jax.tree_util.tree_map(
-        lambda full, leaf: full.at[node_idx].set(leaf), tree.embedding, embedding
-    )
+    n = spec.max_nodes
+    node_m = (jnp.arange(n) == node_idx) & enabled  # bool[N]
+    parent_m = (jnp.arange(n) == parent) & (parent >= 0) & enabled
+
+    def write_embedding(full, leaf):
+        m = node_m.reshape((n,) + (1,) * (full.ndim - 1))
+        return jnp.where(m, leaf[None].astype(full.dtype), full)
+
+    new_embedding = jax.tree_util.tree_map(write_embedding, tree.embedding, embedding)
+    row_m = node_m[:, None]  # [N, 1]
+    child_write = parent_m[:, None] & (jnp.arange(tree.children_index.shape[1]) == action)[None, :]
     return tree.replace(
-        terminal=tree.terminal.at[node_idx].set(terminal),
-        expanded=tree.expanded.at[node_idx].set(expanded),
-        parent=tree.parent.at[node_idx].set(parent),
-        action_from_parent=tree.action_from_parent.at[node_idx].set(action),
-        to_play=tree.to_play.at[node_idx].set(to_play.astype(jnp.int32)),
-        children_index=jnp.where(
-            parent >= 0,
-            tree.children_index.at[jnp.maximum(parent, 0), action].set(node_idx),
-            tree.children_index,
-        ),
-        prior=tree.prior.at[node_idx].set(jnp.where(legal, policy, 0.0) * expanded),
-        logit=tree.logit.at[node_idx].set(jnp.where(legal, policy_logit, 0.0) * expanded),
-        legal=tree.legal.at[node_idx].set(legal & expanded),
-        num_nodes=jnp.maximum(tree.num_nodes, node_idx + 1),
+        terminal=jnp.where(node_m, terminal, tree.terminal),
+        expanded=jnp.where(node_m, expanded, tree.expanded),
+        parent=jnp.where(node_m, parent, tree.parent),
+        action_from_parent=jnp.where(node_m, action, tree.action_from_parent),
+        to_play=jnp.where(node_m, to_play.astype(jnp.int32), tree.to_play),
+        children_index=jnp.where(child_write, node_idx, tree.children_index),
+        prior=jnp.where(row_m, (jnp.where(legal, policy, 0.0) * expanded)[None, :], tree.prior),
+        logit=jnp.where(row_m, (jnp.where(legal, policy_logit, 0.0) * expanded)[None, :], tree.logit),
+        legal=jnp.where(row_m, (legal & expanded)[None, :], tree.legal),
+        num_nodes=jnp.maximum(tree.num_nodes, jnp.where(enabled, node_idx + 1, 0)),
     ).replace(embedding=new_embedding)
 
 
-def backup(spec: SearchSpec, tree: Tree, leaf: jnp.ndarray, value: jnp.ndarray, reward: jnp.ndarray) -> Tree:
+def backup(
+    spec: SearchSpec,
+    tree: Tree,
+    leaf: jnp.ndarray,
+    value: jnp.ndarray,
+    reward: jnp.ndarray,
+    store_leaf: jnp.ndarray = None,
+) -> Tree:
     """Propagate ``value`` from ``leaf`` to the root with incremental means and
-    per-step reward discounting (reference MCTS::backup, mcts.cpp:166-179)."""
+    per-step reward discounting (reference MCTS::backup, mcts.cpp:166-179).
+
+    ``store_leaf`` (traced bool, default True) controls whether ``value`` /
+    ``reward`` are written at the leaf — False on revisits, where the stored
+    values are the inputs. Updates are iota-mask selects (scatter-free)."""
+    n = spec.max_nodes
+    iota = jnp.arange(n)
+    if store_leaf is None:
+        store_leaf = jnp.bool_(True)
+    leaf_m = (iota == leaf) & store_leaf
     tree = tree.replace(
-        value=tree.value.at[leaf].set(value),
-        reward=tree.reward.at[leaf].set(reward),
+        value=jnp.where(leaf_m, value, tree.value),
+        reward=jnp.where(leaf_m, reward, tree.reward),
     )
 
     def cond(carry):
@@ -330,12 +360,13 @@ def backup(spec: SearchSpec, tree: Tree, leaf: jnp.ndarray, value: jnp.ndarray, 
 
     def body(carry):
         node, updated, visits, mean = carry
-        new_count = visits[node] + 1.0
-        new_mean = mean[node] + (updated - mean[node]) / new_count
-        visits = visits.at[node].set(new_count)
-        mean = mean.at[node].set(new_mean)
-        updated = tree.reward[node] + spec.discount * updated
-        return (tree.parent[node], updated, visits, mean)
+        m = iota == node
+        new_count = visits + m.astype(jnp.float32)
+        mean = mean + jnp.where(m, (updated - mean) / jnp.maximum(new_count, 1.0), 0.0)
+        visits = new_count
+        node_c = jnp.maximum(node, 0)
+        updated = tree.reward[node_c] + spec.discount * updated
+        return (tree.parent[node_c], updated, visits, mean)
 
     _, _, visits, mean = jax.lax.while_loop(cond, body, (leaf, value, tree.visits, tree.mean))
     return tree.replace(visits=visits, mean=mean)

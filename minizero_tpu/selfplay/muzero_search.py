@@ -117,18 +117,16 @@ def make_muzero_search(
             node_idx = jnp.full((batch,), s, jnp.int32)
 
             def per_game(tree, sel, policy, logits, legal, terminal, value, reward, turn, embedding, nidx):
-                def new_case(tree):
-                    t = mcts.expand_node(
-                        spec, tree, nidx, sel.parent, sel.action, turn,
-                        policy, logits, legal, terminal, embedding,
-                    )
-                    return mcts.backup(spec, t, nidx, value, reward)
-
-                def revisit_case(tree):
-                    leaf = jnp.maximum(sel.leaf, 0)
-                    return mcts.backup(spec, tree, leaf, tree.value[leaf], tree.reward[leaf])
-
-                return jax.lax.cond(sel.is_new, new_case, revisit_case, tree)
+                # no lax.cond: a vmapped cond executes both branches anyway,
+                # so expand is predicated and backup runs for both cases
+                tree = mcts.expand_node(
+                    spec, tree, nidx, sel.parent, sel.action, turn,
+                    policy, logits, legal, terminal, embedding, enabled=sel.is_new,
+                )
+                start = jnp.where(sel.is_new, nidx, jnp.maximum(sel.leaf, 0))
+                val = jnp.where(sel.is_new, value, tree.value[start])
+                rew = jnp.where(sel.is_new, reward, tree.reward[start])
+                return mcts.backup(spec, tree, start, val, rew, store_leaf=sel.is_new)
 
             trees = jax.vmap(per_game)(
                 trees, sel, policy, logits, leaf_legal, leaf_terminal, value, reward,

@@ -131,6 +131,11 @@ def main(argv=None) -> int:
     parser.add_argument("-input", default="")
     parser.add_argument("-output", default="")
     parser.add_argument("-run_dir", default="training_result")
+    parser.add_argument("-run_dir_b", default="",
+                        help="second run dir: eval mode runs a cross-run "
+                             "fight-eval (reference tools/fight-eval.sh)")
+    parser.add_argument("-iteration", default="",
+                        help="checkpoint name for fight-eval (e.g. iter_10)")
     parser.add_argument("-platform", default="",
                         help="force a jax platform (e.g. cpu); needed because "
                              "the baked sitecustomize pins the tunneled TPU "
@@ -180,11 +185,14 @@ def main(argv=None) -> int:
         print(f"stripped OBS from {n} records")
         return 0
     if args.mode == "recover_obs":
-        # regeneration needs the env backend (e.g. ALE); reference
-        # obs_recover replays from the stored seed (obs_recover.h:19-83)
-        print("recover_obs requires a replayable env backend (ale_py); "
-              "use minizero_tpu.tools.obs.recover_obs with a replay callback")
-        return 1
+        # deterministic seed replay via the env backend (reference
+        # obs_recover.h:19-83); atari needs the optional ale_py package
+        from minizero_tpu.tools.obs import AtariObsReplayer, recover_obs_file
+
+        replayer = AtariObsReplayer(rom_dir=cfg.env_atari_rom_dir)
+        n = recover_obs_file(args.input, args.output or args.input + ".obs", replayer)
+        print(f"recovered OBS for {n} records")
+        return 0
     return 1
 
 

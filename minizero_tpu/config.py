@@ -65,6 +65,7 @@ _PARAMS: Tuple[Tuple[str, Any, str, str], ...] = (
     ("zero_disable_resign_ratio", 0.1, "the probability to keep playing when the winrate is below actor_resign_threshold", "Zero"),
     ("zero_actor_intermediate_sequence_length", 0, "the max sequence length when running self-play; 0 (unlimited) for board games, 200 for atari", "Zero"),
     ("zero_actor_ignored_command", "reset_actors", "the commands to ignore by the actor", "Zero"),
+    ("zero_actor_record_observations", False, "store compressed per-step observations in records as OBS tags (atari; see -mode remove_obs/recover_obs)", "Zero"),
     ("zero_server_accept_different_model_games", True, "true for accepting self-play games generated by an out-of-date model", "Zero"),
     ("zero_display_latest_games", 0, "the number of latest games to display statistics in log; 0 to disable", "Zero"),
     # learner parameters (configuration.cpp:51-66)

@@ -188,6 +188,7 @@ _TABLE: Dict[str, Tuple[str, str, Callable[..., Dict[str, Any]], Dict[str, Any]]
             "actor_select_action_softmax_temperature_decay": True,
             "actor_use_random_rotation_features": False,
             "zero_actor_intermediate_sequence_length": 200,
+            "zero_actor_record_observations": True,
             "learner_n_step_return": 10,
             "learner_use_per": True,
             "nn_type_name": "muzero",

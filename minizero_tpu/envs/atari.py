@@ -194,6 +194,28 @@ class AtariEnv:
         return 1
 
 
+def rebuild_features_from_frames(frames: np.ndarray, actions: np.ndarray) -> np.ndarray:
+    """Rebuild stacked u8 feature planes from per-position newest frames.
+
+    ``frames[i]`` is the newest RGB frame of position ``i``'s pre-move
+    features (what records store in their OBS tag); the full 8-deep history
+    stack plus action planes is reconstructed exactly as ``AtariEnv.features``
+    builds it (atari.cpp:112-122). Positions before the chunk start zero-pad,
+    like the reference pads before the episode start."""
+    length = frames.shape[0]
+    feats = np.zeros((length, RESOLUTION, RESOLUTION, HISTORY * 4), np.uint8)
+    pos = np.arange(length)
+    for k in range(HISTORY):
+        j = pos - (HISTORY - 1) + k  # history slot k shows frame j
+        valid = j >= 0
+        feats[valid, :, :, 4 * k + 1: 4 * k + 4] = frames[j[valid]]
+        aj = j - 1  # slot k's action plane holds the action that led to frame j
+        avalid = aj >= 0
+        plane = np.clip(actions[aj[avalid]].astype(np.float32) / ACTION_SIZE * 255.0, 0, 255).astype(np.uint8)
+        feats[avalid, :, :, 4 * k] = plane[:, None, None]
+    return feats
+
+
 class AtariVecEnv:
     """A batch of host Atari episodes with array-in/array-out stepping."""
 

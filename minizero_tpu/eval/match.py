@@ -164,8 +164,19 @@ def fight_eval(cfg: Config, run_dir_a: str, run_dir_b: str, iteration: str,
     """Cross-run same-iteration match (reference tools/fight-eval.sh)."""
     env = make_env(cfg)
     net = create_network(cfg, env.spec)
-    pa = os.path.join(run_dir_a, "model", iteration)
-    pb = os.path.join(run_dir_b, "model", iteration)
+
+    def resolve(run_dir: str) -> str:
+        if iteration != "latest":
+            return os.path.join(run_dir, "model", iteration)
+        model_dir = os.path.join(run_dir, "model")
+        ckpts = sorted(
+            (f for f in os.listdir(model_dir) if f.endswith(".ckpt")),
+            key=lambda f: int(f.split("_")[-1].split(".")[0]),
+        )
+        return os.path.join(model_dir, ckpts[-1])
+
+    pa = resolve(run_dir_a)
+    pb = resolve(run_dir_b)
     va = load_checkpoint_variables(pa, cfg, net, env.spec)
     vb = load_checkpoint_variables(pb, cfg, net, env.spec)
     r = play_match(cfg, va, vb, num_games=num_games, seed=seed)
@@ -177,6 +188,17 @@ def fight_eval(cfg: Config, run_dir_a: str, run_dir_b: str, iteration: str,
 
 
 def run_eval_cli(cfg: Config, args) -> int:
+    if getattr(args, "run_dir_b", ""):
+        # cross-run fight-eval (reference tools/fight-eval.sh:91-109)
+        row = fight_eval(cfg, args.run_dir, args.run_dir_b,
+                         getattr(args, "iteration", "") or "latest",
+                         num_games=args.num_games)
+        print(
+            f"{row['a']} vs {row['b']}: win_rate_a={row['win_rate_a']:.3f} "
+            f"elo_diff={row['elo_diff']:.1f} "
+            f"({row['wins']}W/{row['losses']}L/{row['draws']}D)"
+        )
+        return 0
     results = self_eval(cfg, args.run_dir, num_games=args.num_games)
     for row in results:
         print(

@@ -160,8 +160,12 @@ def make_train_step(cfg: Config, env: Env, network):
             return value
         return to_discrete_value(transform_value(value), value_size)
 
+    # replay stores u8 planes; atari's encode real values scaled by 255
+    # (host_engine.move stores clip(f*255)), board games store 0/1
+    feat_scale = 1.0 / 255.0 if env.spec.name.startswith("atari") else 1.0
+
     def alphazero_loss(params, batch_stats, batch, rng):
-        feats = batch["features"].astype(jnp.float32)
+        feats = batch["features"].astype(jnp.float32) * feat_scale
         feats, policy_label, _ = _augment_rotation(env, rng, feats, batch["policy"])
         out, mutated = network.apply(
             {"params": params, "batch_stats": batch_stats}, feats, train=True, mutable=["batch_stats"]
@@ -181,7 +185,7 @@ def make_train_step(cfg: Config, env: Env, network):
         return loss, (mutated["batch_stats"], metrics)
 
     def muzero_loss(params, batch_stats, batch, rng):
-        feats = batch["features"].astype(jnp.float32)
+        feats = batch["features"].astype(jnp.float32) * feat_scale
         feats, policy_label, actions = _augment_rotation(env, rng, feats, batch["policy"], batch["actions"])
         variables = {"params": params, "batch_stats": batch_stats}
         ls = batch["loss_scale"]

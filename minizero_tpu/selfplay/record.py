@@ -90,9 +90,10 @@ def parse_game(content: str, action_size: int) -> Tuple[Dict[str, str], List[Dic
         value = re.sub(r"\\(.)", r"\1", value)
         if key in _CHAR_PLAYERS and semi == ";":
             moves.append({"player": key, "action": value})
-        elif moves:
+        elif moves and key not in ("OBS", "LL"):
             moves[-1][key] = value
         else:
+            # game-level tags; OBS/LL are appended after the move list
             tags[key] = value
     return tags, moves
 

@@ -76,3 +76,80 @@ def recover_obs(
     # insert before the final ')'
     idx = record.rfind(")")
     return record[:idx] + f"OBS[{payload}]" + record[idx:]
+
+
+class AtariObsReplayer:
+    """Regenerates newest-frame observations for (possibly chunked) atari
+    records by deterministic seed replay (reference obs_recover.h:19-83:
+    split sequences of one episode are re-aligned by matching action
+    prefixes against the ongoing replay)."""
+
+    def __init__(self, rom_dir: str = "/opt/atari57/", ale_factory=None):
+        self.rom_dir = rom_dir
+        self.ale_factory = ale_factory
+        self._sessions: dict = {}
+
+    def _frame(self, env) -> np.ndarray:
+        return np.clip(env._obs_history[-1] * 255.0, 0, 255).astype(np.uint8)
+
+    def __call__(self, record: str) -> Optional[np.ndarray]:
+        from minizero_tpu.envs.atari import ACTION_SIZE, AtariEnv
+
+        from minizero_tpu.selfplay.record import parse_game
+
+        tags, moves = parse_game(record, ACTION_SIZE)
+        game = tags.get("GM", "")
+        if not game.startswith("atari") or "SD" not in tags:
+            return None
+        seed = int(tags["SD"])
+        key = (game, seed)
+        actions = [int(m["action"]) for m in moves]
+        sess = self._sessions.get(key)
+        if sess is None:
+            env = AtariEnv(
+                game_name=game[len("atari_"):] if game.startswith("atari_") else game,
+                rom_dir=self.rom_dir, seed=seed, ale_factory=self.ale_factory,
+            )
+            # "base" = episode position of actions[0]/frames[0]: chunk
+            # offsets only grow, so consumed prefixes are trimmed
+            # (memory-bounded like the reference's retention, atari.cpp:86-91)
+            sess = {"env": env, "actions": [], "frames": [self._frame(env)], "base": 0}
+            self._sessions[key] = sess
+        # align this chunk against the replay so far: find the offset where
+        # its action string continues the episode's action stream
+        played = sess["actions"]
+        base = sess["base"]
+        end = base + len(played)  # episode positions played so far
+        offset = None
+        for o in range(max(base, end - len(actions)), end + 1):
+            n_overlap = end - o
+            if actions[:n_overlap] == played[o - base:]:
+                offset = o
+                break
+        if offset is None:
+            return None  # not a continuation of this episode's replay
+        for a in actions[end - offset:]:
+            sess["env"].step(a)
+            played.append(a)
+            sess["frames"].append(self._frame(sess["env"]))
+        out = np.stack(sess["frames"][offset - base: offset - base + len(actions)])
+        drop = offset - base
+        if drop > 0:
+            del played[:drop]
+            del sess["frames"][:drop]
+            sess["base"] = offset
+        if sess["env"].is_terminal():
+            del self._sessions[key]
+        return out
+
+
+def recover_obs_file(in_path: str, out_path: str, replayer) -> int:
+    n = 0
+    with open(in_path) as fin, open(out_path, "w") as fout:
+        for line in fin:
+            line = line.rstrip("\n")
+            if line:
+                line = recover_obs(line, replayer)
+            fout.write(line + "\n")
+            n += 1
+    return n

@@ -62,23 +62,46 @@ def temperature_for_iteration(cfg: Config, iteration: int) -> float:
 
 class ZeroLoop:
     def __init__(self, cfg: Config, run_dir: str, selfplay_batch: Optional[int] = None, seed: int = 0,
-                 mesh=None):
+                 mesh=None, ale_factory=None):
         self.cfg = cfg
         self.run_dir = run_dir
         self.mesh = mesh
         os.makedirs(os.path.join(run_dir, "model"), exist_ok=True)
         os.makedirs(os.path.join(run_dir, "sgf"), exist_ok=True)
 
-        self.env = make_env(cfg)
+        self.selfplay_batch = selfplay_batch or cfg.zero_num_parallel_games
+        self.is_host_env = cfg.env_name == "atari"
+        if self.is_host_env:
+            # host env (ALE) + device MuZero search: the reference's atari
+            # actor keeps the env on CPU and consults it only at the root
+            # (actor/zero_actor.cpp:58-68)
+            if mesh is not None:
+                raise NotImplementedError("mesh-sharded self-play is device-env only; "
+                                          "run atari workers one process per host")
+            from minizero_tpu.envs.atari import AtariVecEnv
+
+            self.vec_env = AtariVecEnv(
+                self.selfplay_batch, seed=cfg.program_seed,
+                game_name=cfg.env_atari_name, rom_dir=cfg.env_atari_rom_dir,
+                ale_factory=ale_factory,
+            )
+            self.env = self.vec_env.envs[0]
+        else:
+            self.vec_env = None
+            self.env = make_env(cfg)
         self.network = create_network(cfg, self.env.spec)
         rng = jax.random.PRNGKey(cfg.program_seed if not cfg.program_auto_seed else int(time.time()))
         self.rng, init_rng = jax.random.split(rng)
         variables = init_network(self.network, self.env.spec, init_rng)
         self.state = init_train_state(cfg, variables)
 
-        self.engine = SelfPlayEngine(self.env, cfg, self.network)
+        if self.is_host_env:
+            from minizero_tpu.selfplay.host_engine import HostSelfPlayEngine
+
+            self.engine = HostSelfPlayEngine(self.vec_env, cfg, self.network)
+        else:
+            self.engine = SelfPlayEngine(self.env, cfg, self.network)
         self.buffer = ReplayBuffer(cfg, self.env.spec)
-        self.selfplay_batch = selfplay_batch or cfg.zero_num_parallel_games
         if mesh is not None:
             # multi-device: self-play batch + train batch shard over dp,
             # weights replicate, gradients all-reduce over ICI
@@ -94,6 +117,7 @@ class ZeroLoop:
         else:
             self.sharded = None
             self._train_step = jax.jit(make_train_step(cfg, self.env, self.network), donate_argnums=0)
+        self._feat_cast = jax.jit(lambda x: x.astype(jnp.float32))
         self.np_rng = np.random.RandomState(cfg.program_seed + 1)
         self.is_muzero = cfg.nn_type_name.lower() != "alphazero"
         self._log_file = open(os.path.join(run_dir, "Training.log"), "a")
@@ -120,6 +144,8 @@ class ZeroLoop:
 
     # -------------------------------------------------------------- selfplay
     def self_play_iteration(self, iteration: int) -> Dict[str, float]:
+        if self.is_host_env:
+            return self._host_self_play_iteration(iteration)
         cfg = self.cfg
         temperature = temperature_for_iteration(cfg, iteration)
         collector = TrajectoryCollector(cfg, self.env.spec, self.selfplay_batch, seed=cfg.program_seed + iteration)
@@ -162,7 +188,9 @@ class ZeroLoop:
                     lengths.append(fg.record.length)
                     returns.append(fg.record.result)
                     num_games += 1
-        dt = time.time() - t0
+        return self._selfplay_stats(iteration, num_games, lengths, returns, time.time() - t0)
+
+    def _selfplay_stats(self, iteration, num_games, lengths, returns, dt) -> Dict[str, float]:
         stats = {
             "games": num_games,
             "time_s": dt,
@@ -187,6 +215,54 @@ class ZeroLoop:
         )
         return stats
 
+    def _host_self_play_iteration(self, iteration: int) -> Dict[str, float]:
+        """Self-play over the host vec env (Atari): device search + host
+        ALE stepping, intermediate-sequence chunk emission, per-record SD
+        seed tags and optional OBS observation tags (the reference's atari
+        record schema, atari.cpp:106-110, base_env.h:215-219)."""
+        from minizero_tpu.selfplay.host_engine import AtariTrajectoryCollector
+        from minizero_tpu.tools.obs import pack_observations
+
+        cfg = self.cfg
+        temperature = temperature_for_iteration(cfg, iteration)
+        collector = AtariTrajectoryCollector(cfg, self.env.spec, self.selfplay_batch)
+        lengths: list = []
+        returns: list = []
+        num_games = 0
+        record_path = os.path.join(self.run_dir, "sgf", f"{iteration}.sgf")
+        t0 = time.time()
+        with open(record_path, "a") as record_file:
+            while num_games < cfg.zero_num_games_per_iteration:
+                self.rng, k = jax.random.split(self.rng)
+                out = self.engine.move(self.variables, k, temperature)
+                finished, reset_slots = collector.add_moves(out)
+                for fg in finished:
+                    self.buffer.add_game(fg.record)
+                    # slot envs are reset only after emission, so the seed
+                    # read here is the one that produced this (chunk of the)
+                    # episode — required for deterministic obs recovery
+                    seed = self.vec_env.envs[fg.slot].seed
+                    extra = {"SD": str(seed)}
+                    if fg.record.lives_lost is not None:
+                        extra["LL"] = "".join("1" if x else "0" for x in fg.record.lives_lost)
+                    line = serialize_game(
+                        self.env.spec.name, fg.record, self.env.spec.board_size, fg.players,
+                        model_file=f"weight_iter_{int(self.state.step)}",
+                        extra_tags=extra,
+                    )
+                    if cfg.zero_actor_record_observations:
+                        # newest RGB frame per step (the stacked history is
+                        # reconstructable from consecutive frames)
+                        obs = fg.record.features[:, :, :, -3:]
+                        line = line[:-1] + f"OBS[{pack_observations(obs)}]" + line[-1:]
+                    record_file.write(line + "\n")
+                    lengths.append(fg.record.length)
+                    returns.append(fg.record.result)
+                    num_games += 1
+                if reset_slots:
+                    self.vec_env.reset_done()
+        return self._selfplay_stats(iteration, num_games, lengths, returns, time.time() - t0)
+
     # ------------------------------------------------------------ optimizing
     def optimize_iteration(self, iteration: int) -> Dict[str, float]:
         cfg = self.cfg
@@ -205,6 +281,11 @@ class ZeroLoop:
                 batch = global_batch_from_local(self.mesh, batch)
             else:
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            # cast u8 feature planes to f32 as a separate kernel: a u8
+            # convert feeding the conv-grad graph trips an XLA:TPU
+            # space-to-batch compiler crash (select(f32, u8) check failure);
+            # transfers stay u8, the cast runs on device
+            batch["features"] = self._feat_cast(batch["features"])
             self.rng, k = jax.random.split(self.rng)
             self.state, metrics = self._train_step(self.state, batch, k)
             if cfg.learner_use_per and "_new_values" in metrics:
@@ -294,9 +375,25 @@ class ZeroLoop:
                 line = line.strip()
                 if not line:
                     continue
-                _, rec = game_record_from_string(
-                    line, self.env.spec.action_size, feature_builder=self._rebuild_features
-                )
+                if self.is_host_env:
+                    # atari: features come from the record's OBS frames, the
+                    # episodic-life cut flags from its LL tag (no device
+                    # replay possible for a host env)
+                    from minizero_tpu.envs.atari import rebuild_features_from_frames
+                    from minizero_tpu.tools.obs import unpack_observations
+
+                    tags, rec = game_record_from_string(line, self.env.spec.action_size)
+                    if "OBS" not in tags:
+                        continue  # stripped records are not trainable
+                    rec.features = rebuild_features_from_frames(
+                        unpack_observations(tags["OBS"]), rec.actions
+                    )
+                    if "LL" in tags:
+                        rec.lives_lost = np.asarray([c == "1" for c in tags["LL"]], bool)
+                else:
+                    _, rec = game_record_from_string(
+                        line, self.env.spec.action_size, feature_builder=self._rebuild_features
+                    )
                 self.buffer.add_game(rec)
                 loaded += 1
         self.cfg = self.cfg.replace(zero_start_iteration=start_iter)

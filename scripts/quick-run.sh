@@ -4,6 +4,7 @@
 #
 #   scripts/quick-run.sh train     <game> <az|mz|gaz|gmz> <end_iter> [conf_str]
 #   scripts/quick-run.sh self-eval <game> <run_dir> [num_games]
+#   scripts/quick-run.sh fight-eval <game> <run_dir_a> <run_dir_b> [iter] [games]
 #   scripts/quick-run.sh console   <game> <ckpt.ckpt> [conf_str]
 #   scripts/quick-run.sh env-test  <game>
 #
@@ -15,7 +16,7 @@ set -euo pipefail
 PLATFORM_ARGS=()
 [ -n "${MINIZERO_PLATFORM:-}" ] && PLATFORM_ARGS=(-platform "$MINIZERO_PLATFORM")
 
-mode="${1:?usage: quick-run.sh <train|self-eval|console|env-test> ...}"
+mode="${1:?usage: quick-run.sh <train|self-eval|fight-eval|console|env-test> ...}"
 shift
 
 alg_conf() {
@@ -41,6 +42,12 @@ case "$mode" in
     game="${1:?game}"; run_dir="${2:?run dir}"; games="${3:-100}"
     exec python -m minizero_tpu "${PLATFORM_ARGS[@]}" -mode eval -conf_str "env_name=${game}" \
       -run_dir "$run_dir" -num_games "$games"
+    ;;
+  fight-eval)
+    game="${1:?game}"; run_a="${2:?run dir A}"; run_b="${3:?run dir B}"
+    iter="${4:-latest}"; games="${5:-100}"
+    exec python -m minizero_tpu "${PLATFORM_ARGS[@]}" -mode eval -conf_str "env_name=${game}" \
+      -run_dir "$run_a" -run_dir_b "$run_b" -iteration "$iter" -num_games "$games"
     ;;
   console)
     game="${1:?game}"; ckpt="${2:-}"; extra="${3:-}"

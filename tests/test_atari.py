@@ -136,3 +136,145 @@ def test_n_step_value_with_life_cut():
     assert buf._n_step_value(rec, 2) == 4.0
     # pos 4: r4 + 0.5 r5, bootstrap at 7 out of range
     assert buf._n_step_value(rec, 4) == 16 + 0.5 * 32
+
+
+def test_rebuild_features_from_frames_roundtrip():
+    from minizero_tpu.envs.atari import rebuild_features_from_frames
+
+    env = _fake_env(seed=3, length=60)
+    feats = []
+    for a in [1, 3, 0, 2, 1, 1, 0, 3, 2, 1]:
+        feats.append(np.clip(env.features() * 255.0, 0, 255).astype(np.uint8))
+        env.step(a)
+    feats = np.stack(feats)
+    actions = np.array([1, 3, 0, 2, 1, 1, 0, 3, 2, 1], np.int32)
+    rebuilt = rebuild_features_from_frames(feats[:, :, :, -3:], actions)
+    np.testing.assert_array_equal(rebuilt, feats)
+
+
+def test_zero_loop_atari_smoke(tmp_path):
+    """End-to-end atari iteration driver over FakeALE: self-play with SD/OBS
+    tags -> train -> checkpoint -> resume rebuilds the buffer from OBS."""
+    from minizero_tpu.tools.obs import unpack_observations
+    from minizero_tpu.zero.loop import ZeroLoop
+
+    cfg = default_config(
+        "atari",
+        actor_num_simulation=2,
+        nn_num_blocks=1,
+        nn_num_hidden_channels=8,
+        nn_num_value_hidden_channels=8,
+        zero_num_parallel_games=2,
+        zero_num_games_per_iteration=2,
+        zero_end_iteration=1,
+        learner_training_step=2,
+        learner_training_display_step=2,
+        learner_batch_size=4,
+        learner_muzero_unrolling_step=2,
+        learner_n_step_return=2,
+        zero_actor_intermediate_sequence_length=0,
+        program_auto_seed=False,
+    )
+    run_dir = str(tmp_path / "run")
+    factory = lambda s: FakeALE(seed=s, length=24)  # noqa: E731
+    loop = ZeroLoop(cfg, run_dir, ale_factory=factory)
+    loop.run()
+    sgf = open(f"{run_dir}/sgf/1.sgf").read().strip().splitlines()
+    assert len(sgf) >= 2
+    assert "SD[" in sgf[0] and "OBS[" in sgf[0] and "LL[" in sgf[0]
+    # resume: fresh loop rebuilds the replay window from OBS frames
+    loop2 = ZeroLoop(cfg, run_dir, ale_factory=factory)
+    start = loop2.resume()
+    assert start == 1
+    assert len(loop2.buffer) == len(loop.buffer)
+    a = loop.buffer.games[0]
+    b = loop2.buffer.games[0]
+    np.testing.assert_array_equal(a.actions, b.actions)
+    np.testing.assert_array_equal(a.features, b.features)
+    np.testing.assert_array_equal(a.lives_lost, b.lives_lost)
+
+
+def test_obs_recover_roundtrip_chunked():
+    """remove_obs + AtariObsReplayer recover across chunked records of one
+    episode (reference obs_recover prefix alignment)."""
+    from minizero_tpu.selfplay.record import serialize_game
+    from minizero_tpu.tools.obs import (
+        AtariObsReplayer,
+        pack_observations,
+        recover_obs,
+        remove_obs,
+        unpack_observations,
+    )
+    from minizero_tpu.envs.atari import atari_spec
+
+    cfg = default_config(
+        "atari",
+        zero_actor_intermediate_sequence_length=6,
+        learner_n_step_return=1,
+        learner_muzero_unrolling_step=1,
+    )
+    spec = atari_spec()
+    factory = lambda s: FakeALE(seed=s, length=80)  # noqa: E731
+    env = AtariEnv(seed=11, ale_factory=factory)
+    col = AtariTrajectoryCollector(cfg, spec, 1)
+    chunks = []
+    t = 0
+    while not env.is_terminal():
+        feats = np.clip(env.features() * 255.0, 0, 255).astype(np.uint8)[None]
+        a = (t * 7) % 4
+        env.step(a)
+        out = HostMoveOutput(
+            action=np.array([a]),
+            policy_target=np.zeros((1, spec.action_size), np.float32),
+            root_value=np.array([0.0]),
+            reward=np.array([env.reward]),
+            features=feats,
+            done=np.array([env.is_terminal()]),
+            eval_score=np.array([env.eval_score()]),
+            lives_lost=np.array([False]),
+        )
+        finished, _ = col.add_moves(out)
+        chunks.extend(finished)
+        t += 1
+    assert len(chunks) >= 2
+    lines = []
+    for fg in chunks:
+        line = serialize_game(spec.name, fg.record, spec.board_size, fg.players,
+                              extra_tags={"SD": "11"})
+        obs = fg.record.features[:, :, :, -3:]
+        lines.append(line[:-1] + f"OBS[{pack_observations(obs)}]" + line[-1:])
+    stripped = [remove_obs(ln) for ln in lines]
+    assert all("OBS[" not in s for s in stripped)
+    replayer = AtariObsReplayer(ale_factory=factory)
+    for orig, bare in zip(lines, stripped):
+        rec = recover_obs(bare, replayer)
+        want = unpack_observations(orig.split("OBS[")[1].split("]")[0])
+        got = unpack_observations(rec.split("OBS[")[1].split("]")[0])
+        np.testing.assert_array_equal(got, want)
+
+
+def test_to_video_fake(tmp_path):
+    from minizero_tpu.selfplay.record import serialize_game
+    from minizero_tpu.tools.to_video import record_to_video
+    from minizero_tpu.envs.atari import atari_spec
+
+    spec = atari_spec()
+    factory = lambda s: FakeALE(seed=s, length=12)  # noqa: E731
+    env = AtariEnv(seed=5, ale_factory=factory)
+    actions, rewards = [], []
+    while not env.is_terminal():
+        actions.append(1)
+        rewards.append(env.step(1))
+    n = len(actions)
+    rec = GameRecord(
+        actions=np.asarray(actions, np.int32),
+        policy=np.zeros((n, 18), np.float16),
+        values=np.zeros(n, np.float32),
+        rewards=np.asarray(rewards, np.float32),
+        features=np.zeros((n, 1, 1, 1), np.uint8),
+        result=env.eval_score(),
+    )
+    line = serialize_game(spec.name, rec, spec.board_size, tuple([1] * n), extra_tags={"SD": "5"})
+    out = record_to_video(line, str(tmp_path), ale_factory=factory)
+    assert out is not None and out.endswith(".gif")
+    assert (tmp_path / "ms_pacman-0.gif").exists()

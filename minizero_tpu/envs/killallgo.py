@@ -10,9 +10,12 @@ TPU-native counterpart of the reference
 fixed-shape one-hot matmuls + a bounded fixpoint loop instead of the
 reference's bitboard worklists (``go.cpp:614-678``).
 
-The optional precomputed 7x7 seki table (``killallgo_seki_7x7.cpp``,
-``env_killallgo_use_seki``, default false) is not implemented; enabling the
-flag raises.
+The optional 7x7 seki table (``killallgo_seki_7x7.cpp``,
+``env_killallgo_use_seki``, default false): ``use_seki=True`` loads (or
+generates, cached next to ``native/seki_gen.cpp``) the proven-seki pattern
+table and adds a vectorized table lookup over every white-enclosed area to
+the terminal test — a seki means Black can no longer kill everything, so the
+game is adjudicated for White (``killallgo.cpp:36``).
 """
 
 from __future__ import annotations
@@ -21,16 +24,84 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from minizero_tpu.envs.go import GoEnv, GoState
 
 
 class KillAllGoEnv(GoEnv):
-    def __init__(self, board_size: int = 7, use_seki: bool = False):
-        if use_seki:
-            raise NotImplementedError("7x7 seki table is not implemented (env_killallgo_use_seki)")
+    def __init__(self, board_size: int = 7, use_seki: bool = False,
+                 seki_min_size: int = 5, seki_max_size: int = 8):
         super().__init__(board_size=board_size, komi=0.0)
         self.spec = dataclasses.replace(self.spec, name=f"killallgo_{board_size}x{board_size}")
+        self.use_seki = bool(use_seki)
+        if self.use_seki:
+            if board_size != 7:
+                raise ValueError("the seki table is 7x7-only (reference kKillAllGoBoardSize)")
+            from minizero_tpu.envs import seki7x7
+
+            table = seki7x7.ensure_table(seki_min_size, seki_max_size)
+            hashes, words, max_run = seki7x7.sorted_device_table(table)
+            self._seki_hash = jnp.asarray(hashes)
+            self._seki_words = jnp.asarray(words)
+            self._seki_window = max_run
+            self._seki_mix = jnp.asarray(np.asarray(seki7x7._MIX, np.uint32).view(np.int32))
+
+    # ------------------------------------------------------------------ seki
+    def _seki_detected(self, state: GoState) -> jnp.ndarray:
+        """True if any white-enclosed area matches a proven seki pattern
+        (reference SekiSearch::isSeki + lookupSekiBitboard,
+        killallgo_seki_7x7.cpp:377-474): the area's (black, empty) masks are
+        the table key, and at most one of its surrounding white blocks may
+        border other areas too."""
+        nn = self.nn
+        idx = jnp.arange(nn, dtype=jnp.int32)
+        board = state.board
+        white = board == 2
+        black = board == 1
+        empty = board == 0
+        nonw = ~white
+
+        connected = nonw[self._nbr] & self._nbr_valid & nonw[:, None]
+        area_labels = self._cc_labels(nonw, connected)
+        area_oh = (area_labels[None, :] == idx[:, None]) & nonw[None, :]  # [L, P]
+        area_exists = jnp.any(area_oh, axis=1)
+
+        block_oh = ((state.labels[None, :] == idx[:, None]) & white[None, :]).astype(jnp.float32)
+        reach_b = jnp.dot(block_oh, self._adj_f, preferred_element_type=jnp.float32) > 0  # [Lb, P]
+        a2b = (
+            jnp.dot(area_oh.astype(jnp.float32), reach_b.T.astype(jnp.float32),
+                    preferred_element_type=jnp.float32) > 0
+        )  # [La, Lb] area borders block
+        areas_per_block = jnp.sum(a2b.astype(jnp.float32), axis=0)  # [Lb]
+        multi = (areas_per_block > 1).astype(jnp.float32)
+        surround_multi = jnp.dot(a2b.astype(jnp.float32), multi)  # [La]
+        filter_ok = area_exists & (surround_multi <= 1)
+
+        # pack each area's (black, empty) masks into 4 int32 words
+        # (25 low cells + 24 high cells per mask), same layout as
+        # seki7x7.pack_words
+        pow_lo = (jnp.int32(1) << idx[:25]).astype(jnp.int32)
+        pow_hi = (jnp.int32(1) << (idx[25:] - 25)).astype(jnp.int32)
+
+        def pack(mask_oh):  # bool [L, P] -> int32 [L, 2]
+            m = mask_oh.astype(jnp.int32)
+            return jnp.stack([m[:, :25] @ pow_lo, m[:, 25:] @ pow_hi], axis=1)
+
+        words = jnp.concatenate(
+            [pack(area_oh & black[None, :]), pack(area_oh & empty[None, :])], axis=1
+        )  # [L, 4]
+        h = (words[:, 0] * self._seki_mix[0]) ^ (words[:, 1] * self._seki_mix[1]) \
+            ^ (words[:, 2] * self._seki_mix[2]) ^ (words[:, 3] * self._seki_mix[3])
+        pos = jnp.searchsorted(self._seki_hash, h)
+        m = self._seki_hash.shape[0]
+        if m == 0:
+            return jnp.bool_(False)
+        found = jnp.zeros(h.shape, bool)
+        for j in range(self._seki_window):
+            at = jnp.clip(pos + j, 0, m - 1)
+            found |= (self._seki_hash[at] == h) & jnp.all(self._seki_words[at] == words, axis=1)
+        return jnp.any(found & filter_ok)
 
     # ----------------------------------------------------------------- benson
     def _benson_bitboard(self, board: jnp.ndarray, labels: jnp.ndarray, player) -> jnp.ndarray:
@@ -119,11 +190,15 @@ class KillAllGoEnv(GoEnv):
         White-pass-alive, or plain Go termination (killallgo.cpp:35-41)."""
         benson_b = self._benson_bitboard(state.board, state.labels, 1)
         benson_w = self._benson_bitboard(state.board, state.labels, 2)
-        return (
+        terminal = (
             (jnp.sum(benson_b.astype(jnp.int32)) == self.nn)
             | jnp.any(benson_w)
             | super().is_terminal(state)
         )
+        if self.use_seki:
+            # a proven local seki means White survives (killallgo.cpp:36)
+            terminal |= self._seki_detected(state)
+        return terminal
 
     def eval_score(self, state: GoState) -> jnp.ndarray:
         """Black wins iff White has no stones or Black is pass-alive

@@ -192,3 +192,72 @@ def test_killallgo_white_wiped_out_black_wins():
     labels = env._stone_labels(jnp.asarray(board, jnp.int8))
     state = env.init().replace(board=jnp.asarray(board, jnp.int8), labels=labels)
     assert float(_KAG_EVAL(state)) == 1.0
+
+
+def test_killallgo_seki_detection():
+    """Seki table generation + the vectorized area lookup in the env
+    (reference killallgo_seki_7x7.cpp isSeki/lookupSekiBitboard)."""
+    import jax.numpy as jnp
+
+    from minizero_tpu.envs import seki7x7
+    from minizero_tpu.envs.killallgo import KillAllGoEnv
+
+    env = KillAllGoEnv(7, use_seki=True, seki_min_size=5, seki_max_size=5)
+    table = seki7x7.ensure_table(5, 5)
+    assert len(table) > 100  # the 5-cell sekis alone number >1k
+
+    n = 7
+
+    def dilate4(bb):
+        out = bb
+        for i in range(49):
+            if not (bb >> i) & 1:
+                continue
+            r, c = divmod(i, n)
+            for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                if 0 <= r + dr < n and 0 <= c + dc < n:
+                    out |= 1 << ((r + dr) * n + c + dc)
+        return out
+
+    def dilate8(bb):
+        out = bb
+        for i in range(49):
+            if not (bb >> i) & 1:
+                continue
+            r, c = divmod(i, n)
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    if 0 <= r + dr < n and 0 <= c + dc < n:
+                        out |= 1 << ((r + dr) * n + c + dc)
+        return out
+
+    def state_from_bits(black_bits, white_bits):
+        board = np.zeros(49, np.int8)
+        for i in range(49):
+            if (black_bits >> i) & 1:
+                board[i] = 1
+            elif (white_bits >> i) & 1:
+                board[i] = 2
+        board = jnp.asarray(board)
+        return env.init().replace(board=board, labels=env._stone_labels(board))
+
+    hits = 0
+    for row in range(min(len(table), 5)):
+        black, eyes = int(table[row, 0]), int(table[row, 1])
+        shape = black | eyes
+        ring = dilate8(shape) & ~shape
+        outer = dilate4(ring) & ~shape & ~ring
+        state = state_from_bits(black | outer, ring)
+        assert bool(env._seki_detected(state)), (hex(black), hex(eyes))
+        assert bool(env.is_terminal(state))
+        assert float(env.eval_score(state)) == -1.0  # white survives
+        # negative: open one ring stone -> the area grows, pattern mismatch
+        hole = ring & (-ring)
+        state2 = state_from_bits(black | outer, ring & ~hole)
+        assert not bool(env._seki_detected(state2))
+        hits += 1
+    assert hits > 0
+
+    # plain env (no seki flag) still works and never consults the table
+    env_plain = KillAllGoEnv(7)
+    assert not env_plain.use_seki

@@ -161,6 +161,7 @@ class GTPConsole:
             "game_string": self.cmd_game_string,
             "load_model": self.cmd_load_model,
             "get_conf_str": self.cmd_get_conf_str,
+            "load_game": self.cmd_load_game,
             "quit": self.cmd_quit,
         }
         self.running = True
@@ -317,6 +318,31 @@ class GTPConsole:
             if key and hasattr(self.cfg, key):
                 lines.append(f"{key}={getattr(self.cfg, key)}")
         self.success("\n" + "\n".join(lines))
+
+    def cmd_load_game(self, args):
+        """Replay a record file into the console env (reference
+        cmdLoadGame, console.cpp; resizes the board from the SZ tag)."""
+        if len(args) != 2:
+            return self.fail("load_game requires a record file path")
+        from minizero_tpu.selfplay.record import parse_game
+
+        try:
+            with open(args[1]) as f:
+                content = f.readline().strip()
+        except OSError:
+            return self.fail("Failed to load SGF file")
+        actor = self._ensure_actor()
+        tags, moves = parse_game(content, actor.env.spec.action_size)
+        size = int(tags.get("SZ", 0) or 0)
+        if size and size != actor.env.spec.board_size:
+            self.cfg = self.cfg.replace(env_board_size=size)
+            self.actor = actor = ConsoleActor(self.cfg)
+        actor.reset()
+        for i, m in enumerate(moves):
+            if not actor.act(int(m["action"])):
+                return self.fail(f"Invalid SGF action at move {i + 1}: {m['action']}")
+        state0 = jax.tree_util.tree_map(lambda x: x[0], actor.states)
+        self.success("\n" + render_board(actor.env, state0))
 
     def cmd_quit(self, args):
         self.running = False

@@ -125,3 +125,20 @@ def test_cli_gen_config(tmp_path):
     text = out.read_text()
     assert "env_name=tictactoe" in text
     assert "# Actor" in text
+
+
+def test_console_load_game(tmp_path):
+    """load_game replays a record file into the console env (reference
+    cmdLoadGame)."""
+    rec = tmp_path / "game.sgf"
+    rec.write_text("(;GM[tictactoe]RE[0]SZ[3];B[4]P[4:1]V[0]R[0];W[0]P[0:1]V[0]R[0])\n")
+    console, out = _console()
+    console.execute(f"load_game {rec}")
+    console.execute("game_string")
+    text = out.getvalue()
+    assert "?" not in text.splitlines()[0]
+    assert "B[4]" in text and "W[0]" in text
+    # bad path fails cleanly
+    console2, out2 = _console()
+    console2.execute("load_game /nonexistent/file.sgf")
+    assert out2.getvalue().startswith("?")

@@ -85,5 +85,5 @@ def main(batch_size: int = 1024, measure_moves: int = 12) -> None:
 
 
 if __name__ == "__main__":
-    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     main(batch_size=bs)

@@ -136,6 +136,9 @@ def main(argv=None) -> int:
                              "fight-eval (reference tools/fight-eval.sh)")
     parser.add_argument("-iteration", default="",
                         help="checkpoint name for fight-eval (e.g. iter_10)")
+    parser.add_argument("-multi_device", action="store_true",
+                        help="zero mode: shard self-play/training over all "
+                             "devices (multi-host via JAX_COORDINATOR_ADDRESS)")
     parser.add_argument("-platform", default="",
                         help="force a jax platform (e.g. cpu); needed because "
                              "the baked sitecustomize pins the tunneled TPU "
@@ -170,7 +173,20 @@ def main(argv=None) -> int:
     if args.mode == "zero":
         from minizero_tpu.zero.loop import ZeroLoop
 
-        loop = ZeroLoop(cfg, args.run_dir)
+        mesh = None
+        if args.multi_device:
+            # shard self-play + training over every visible device (and,
+            # under jax.distributed via JAX_COORDINATOR_ADDRESS, every host —
+            # the reference's worker fleet, README.md:58-99)
+            from minizero_tpu.parallel.distributed import init_distributed
+            from minizero_tpu.parallel.mesh import make_mesh
+
+            init_distributed()
+            import jax
+
+            if len(jax.devices()) > 1:
+                mesh = make_mesh(len(jax.devices()))
+        loop = ZeroLoop(cfg, args.run_dir, mesh=mesh)
         loop.resume()  # continue mode when the run dir has checkpoints
         loop.run()
         return 0

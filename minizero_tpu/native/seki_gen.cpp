@@ -172,6 +172,8 @@ struct Search {
 };
 
 static const long NODE_CAP = 4000000;
+static const int DEPTH_CAP = 256;  // conservative: deeper proofs abort and
+                                   // the pattern is excluded from the table
 
 static inline bool in_hist(const Search& S, u64 b, u64 w) {
     for (size_t i = S.hist_base; i < S.hist.size(); ++i)
@@ -204,8 +206,8 @@ static void priority_masks(const Pos& p, u64 area, u64 ring_libs, u64 out[3]) {
 
 // true iff the attacker CANNOT change the local status (AND-OR proof,
 // reference enclosedSekiSearch)
-static bool attacker_fails(Pos p, int turn, bool new_board, Search& S) {
-    if (++S.nodes > NODE_CAP) { S.aborted = true; return false; }
+static bool attacker_fails(Pos p, int turn, bool new_board, Search& S, int depth) {
+    if (++S.nodes > NODE_CAP || depth > DEPTH_CAP) { S.aborted = true; return false; }
     if (S.aborted) return false;
 
     if (benson(p, WHITE)) return S.attacker == BLACK;  // white locally alive
@@ -247,7 +249,7 @@ static bool attacker_fails(Pos p, int turn, bool new_board, Search& S) {
             if (!can_pass) continue;
             Pos q = p;
             q.pass_count = p.pass_count + 1;
-            bool res = attacker_fails(q, 3 - turn, new_board, S);
+            bool res = attacker_fails(q, 3 - turn, new_board, S, depth + 1);
             if (S.aborted) return false;
             if (turn == S.attacker) { if (!res) return false; }
             else if (res) return true;
@@ -264,7 +266,7 @@ static bool attacker_fails(Pos p, int turn, bool new_board, Search& S) {
                 continue;
             }
             S.hist.push_back({q.stone[1], q.stone[2]});
-            bool res = attacker_fails(q, 3 - turn, new_board, S);
+            bool res = attacker_fails(q, 3 - turn, new_board, S, depth + 1);
             S.hist.pop_back();
             if (S.aborted) return false;
             if (turn == S.attacker) { if (!res) return false; }
@@ -286,7 +288,7 @@ static bool run_search(const Pos& root, u64 search_area, int anchor,
     S.nodes = 0;
     S.hist_base = 0;
     S.hist.push_back({root.stone[1], root.stone[2]});
-    bool r = attacker_fails(root, attacker, false, S);
+    bool r = attacker_fails(root, attacker, false, S, 0);
     ssk = ssk || S.ssk_seen;
     aborted = aborted || S.aborted;
     return r;

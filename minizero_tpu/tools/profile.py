@@ -135,14 +135,9 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
-    from minizero_tpu.config import Config
+    from minizero_tpu.__main__ import build_config
 
-    cfg = Config()
-    if args.conf_file:
-        cfg = cfg.load_file(args.conf_file)
-    if args.conf_str:
-        cfg = cfg.load_string(args.conf_str)
-    cfg = cfg.apply_env_defaults()
+    cfg = build_config(args)
     profile_selfplay(cfg, moves=args.moves, batch=args.batch,
                      trace_dir=args.trace_dir, train_steps=args.train_steps)
     return 0

@@ -91,6 +91,8 @@ def run_selfplay(cfg, num_games: int, output: str) -> None:
     from minizero_tpu.selfplay.engine import SelfPlayEngine
     from minizero_tpu.selfplay.record import serialize_game
 
+    if cfg.env_name == "atari":
+        return run_selfplay_host(cfg, num_games, output)
     env = make_env(cfg)
     net = create_network(cfg, env.spec)
     variables = init_network(net, env.spec, jax.random.PRNGKey(cfg.program_seed))
@@ -114,6 +116,51 @@ def run_selfplay(cfg, num_games: int, output: str) -> None:
         for fg in finished:
             out.write(serialize_game(env.spec.name, fg.record, env.spec.board_size, fg.players) + "\n")
             done += 1
+    if output:
+        out.close()
+    print(f"wrote {done} games", file=sys.stderr)
+
+
+def run_selfplay_host(cfg, num_games: int, output: str, ale_factory=None) -> None:
+    """Standalone self-play over the host (ALE) env with SD/LL/OBS record
+    tags (the atari variant of -mode sp)."""
+    import jax
+
+    from minizero_tpu.envs.atari import AtariVecEnv
+    from minizero_tpu.models.factory import create_network, init_network
+    from minizero_tpu.selfplay.host_engine import AtariTrajectoryCollector, HostSelfPlayEngine
+    from minizero_tpu.selfplay.record import serialize_game
+    from minizero_tpu.tools.obs import pack_observations
+
+    batch = cfg.zero_num_parallel_games
+    vec = AtariVecEnv(batch, seed=cfg.program_seed, game_name=cfg.env_atari_name,
+                      rom_dir=cfg.env_atari_rom_dir, ale_factory=ale_factory)
+    net = create_network(cfg, vec.spec)
+    variables = init_network(net, vec.spec, jax.random.PRNGKey(cfg.program_seed))
+    engine = HostSelfPlayEngine(vec, cfg, net)
+    collector = AtariTrajectoryCollector(cfg, vec.spec, batch)
+    rng = jax.random.PRNGKey(cfg.program_seed)
+    done = 0
+    out = open(output, "w") if output else sys.stdout
+    while done < num_games:
+        rng, k = jax.random.split(rng)
+        mv = engine.move(variables, k)
+        finished, reset_slots = collector.add_moves(mv)
+        for fg in finished:
+            extra = {"SD": str(vec.envs[fg.slot].seed)}
+            if fg.abs_start:
+                extra["OFF"] = str(fg.abs_start)
+            if fg.record.lives_lost is not None:
+                extra["LL"] = "".join("1" if x else "0" for x in fg.record.lives_lost)
+            line = serialize_game(vec.spec.name, fg.record, vec.spec.board_size,
+                                  fg.players, extra_tags=extra)
+            if cfg.zero_actor_record_observations:
+                obs = fg.record.features[:, :, :, -3:]
+                line = line[:-1] + f"OBS[{pack_observations(obs)}]" + line[-1:]
+            out.write(line + "\n")
+            done += 1
+        if reset_slots:
+            vec.reset_done()
     if output:
         out.close()
     print(f"wrote {done} games", file=sys.stderr)

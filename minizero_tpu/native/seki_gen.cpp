@@ -171,7 +171,7 @@ struct Search {
     size_t hist_base;                       // reset point after double pass
 };
 
-static const long NODE_CAP = 4000000;
+static long NODE_CAP = 300000;  // patterns needing deeper proofs abort -> excluded (conservative)
 static const int DEPTH_CAP = 256;  // conservative: deeper proofs abort and
                                    // the pattern is excluded from the table
 
@@ -319,11 +319,12 @@ static std::set<u64> enumerate_shapes(int min_size, int max_size) {
 
 int main(int argc, char** argv) {
     if (argc < 4) {
-        std::fprintf(stderr, "usage: seki_gen <min_size> <max_size> <out_path>\n");
+        std::fprintf(stderr, "usage: seki_gen <min_size> <max_size> <out_path> [node_cap]\n");
         return 2;
     }
     init_masks();
     int min_size = std::atoi(argv[1]), max_size = std::atoi(argv[2]);
+    if (argc > 4) NODE_CAP = std::atol(argv[4]);
     std::set<u64> shapes = enumerate_shapes(min_size, max_size);
     std::set<std::pair<u64, u64>> table;
     long searched = 0, aborted_count = 0;

@@ -24,6 +24,7 @@ class FinishedGame:
     record: GameRecord
     players: Tuple[int, ...]
     slot: int
+    abs_start: int = 0  # episode position of record index 0 (chunked episodes)
 
 
 class TrajectoryCollector:

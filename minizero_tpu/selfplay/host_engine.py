@@ -200,4 +200,5 @@ class AtariTrajectoryCollector:
                 for key in ("actions", "policy", "values", "rewards", "features", "lives_lost"):
                     del slot[key][:drop]
                 slot["offset"] = keep_from
-        return FinishedGame(record=record, players=tuple([1] * record.length), slot=slot_idx)
+        return FinishedGame(record=record, players=tuple([1] * record.length),
+                            slot=slot_idx, abs_start=data_start)

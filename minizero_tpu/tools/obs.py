@@ -115,17 +115,25 @@ class AtariObsReplayer:
             # (memory-bounded like the reference's retention, atari.cpp:86-91)
             sess = {"env": env, "actions": [], "frames": [self._frame(env)], "base": 0}
             self._sessions[key] = sess
-        # align this chunk against the replay so far: find the offset where
-        # its action string continues the episode's action stream
+        # align this chunk against the replay so far: the OFF tag (absolute
+        # episode position of the chunk's first move) is authoritative;
+        # otherwise find the offset where the chunk's action string
+        # continues the episode's action stream (the reference's
+        # prefix-matching recovery — ambiguous for periodic action streams)
         played = sess["actions"]
         base = sess["base"]
         end = base + len(played)  # episode positions played so far
         offset = None
-        for o in range(max(base, end - len(actions)), end + 1):
-            n_overlap = end - o
-            if actions[:n_overlap] == played[o - base:]:
+        if "OFF" in tags:
+            o = int(tags["OFF"])
+            if base <= o <= end and actions[: end - o] == played[o - base:]:
                 offset = o
-                break
+        if offset is None:
+            for o in range(max(base, end - len(actions)), end + 1):
+                n_overlap = end - o
+                if actions[:n_overlap] == played[o - base:]:
+                    offset = o
+                    break
         if offset is None:
             return None  # not a continuation of this episode's replay
         for a in actions[end - offset:]:

@@ -213,6 +213,15 @@ class ZeroLoop:
             f"[SelfPlay Game Returns] min: {min(returns) if returns else 0}, max: {max(returns) if returns else 0}, "
             f"avg: {stats['return_avg']:.2f}, std: {stats['return_std']:.2f}"
         )
+        latest = self.cfg.zero_display_latest_games
+        if latest > 0 and returns:
+            lr = returns[-latest:]
+            ll = lengths[-latest:]
+            self.log(
+                f"[SelfPlay Latest {len(lr)} Games] "
+                f"lengths avg: {float(np.mean(ll)):.2f}, std: {float(np.std(ll)):.2f}; "
+                f"returns avg: {float(np.mean(lr)):.2f}, std: {float(np.std(lr)):.2f}"
+            )
         return stats
 
     def _host_self_play_iteration(self, iteration: int) -> Dict[str, float]:
@@ -243,6 +252,10 @@ class ZeroLoop:
                     # episode — required for deterministic obs recovery
                     seed = self.vec_env.envs[fg.slot].seed
                     extra = {"SD": str(seed)}
+                    if fg.abs_start:
+                        # absolute episode position of this chunk's first
+                        # move: disambiguates obs recovery alignment
+                        extra["OFF"] = str(fg.abs_start)
                     if fg.record.lives_lost is not None:
                         extra["LL"] = "".join("1" if x else "0" for x in fg.record.lives_lost)
                     line = serialize_game(

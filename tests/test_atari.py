@@ -239,8 +239,11 @@ def test_obs_recover_roundtrip_chunked():
     assert len(chunks) >= 2
     lines = []
     for fg in chunks:
+        extra = {"SD": "11"}
+        if fg.abs_start:
+            extra["OFF"] = str(fg.abs_start)
         line = serialize_game(spec.name, fg.record, spec.board_size, fg.players,
-                              extra_tags={"SD": "11"})
+                              extra_tags=extra)
         obs = fg.record.features[:, :, :, -3:]
         lines.append(line[:-1] + f"OBS[{pack_observations(obs)}]" + line[-1:])
     stripped = [remove_obs(ln) for ln in lines]
@@ -278,3 +281,25 @@ def test_to_video_fake(tmp_path):
     out = record_to_video(line, str(tmp_path), ale_factory=factory)
     assert out is not None and out.endswith(".gif")
     assert (tmp_path / "ms_pacman-0.gif").exists()
+
+
+def test_run_selfplay_host_mode(tmp_path):
+    """-mode sp for atari (host engine + SD/LL/OBS record tags)."""
+    from minizero_tpu.__main__ import run_selfplay_host
+
+    cfg = default_config(
+        "atari",
+        actor_num_simulation=2,
+        nn_num_blocks=1,
+        nn_num_hidden_channels=8,
+        nn_num_value_hidden_channels=8,
+        zero_num_parallel_games=2,
+        zero_actor_intermediate_sequence_length=0,
+        learner_n_step_return=2,
+        learner_muzero_unrolling_step=2,
+    )
+    out = tmp_path / "games.sgf"
+    run_selfplay_host(cfg, 2, str(out), ale_factory=lambda s: FakeALE(seed=s, length=16))
+    lines = open(out).read().strip().splitlines()
+    assert len(lines) >= 2
+    assert "SD[" in lines[0] and "OBS[" in lines[0] and "LL[" in lines[0]

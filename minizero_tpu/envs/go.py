@@ -148,63 +148,68 @@ class GoEnv(Env):
         connected = (board[self._nbr] == board[:, None]) & self._nbr_valid & active[:, None]
         return self._cc_labels(active, connected)
 
+    def _adj_or(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Neighbour-OR over the board axis: bool[..., NN] -> bool[..., NN]
+        true where any 4-neighbour is true. Pure shifts on the [n, n] grid —
+        on TPU this is ~10x faster than any [NN, NN] adjacency matmul at
+        9x9 sizes (XLA lowers those batched dots to a slow conv emitter)."""
+        n = self.n
+        g = x.reshape(x.shape[:-1] + (n, n))
+        zr = jnp.zeros_like(g[..., :1, :])
+        zc = jnp.zeros_like(g[..., :, :1])
+        up = jnp.concatenate([g[..., 1:, :], zr], axis=-2)
+        dn = jnp.concatenate([zr, g[..., :-1, :]], axis=-2)
+        lf = jnp.concatenate([g[..., :, 1:], zc], axis=-1)
+        rt = jnp.concatenate([zc, g[..., :, :-1]], axis=-1)
+        return (up | dn | lf | rt).reshape(x.shape)
+
     def _block_aggregates(self, board: jnp.ndarray, labels: jnp.ndarray):
-        """Dense per-block aggregates via one-hot matmuls:
-        (lib_at i32[NN], onehot f32[NN, NN], block_chunks f32[NN, 8])."""
+        """Dense per-block aggregates, shift/reduce only (no matmuls):
+        (lib_at i32[NN], oh bool[NN(labels), NN(pos)], block_keys i32[NN, 2])
+        where block_keys are exact mod-2^32 per-block Zobrist sums."""
         nn = self.nn
         occupied = board > 0
-        empty_f = (board == 0).astype(jnp.float32)
-        onehot = (
-            (labels[None, :] == jnp.arange(nn, dtype=jnp.int32)[:, None]) & occupied[None, :]
-        ).astype(jnp.bfloat16)  # [B(labels), P]; 0/1 exact in bf16
-        # block liberty counts: #empty points adjacent to any member
-        reach = jnp.dot(onehot, self._adj_bf16, preferred_element_type=jnp.float32)  # [B, P]
-        lib_count = jnp.sum(jnp.where(reach > 0, empty_f[None, :], 0.0), axis=1)  # [B]
-        lib_pad = jnp.concatenate([lib_count, jnp.zeros((1,))])
-        lib_at = jnp.where(occupied, lib_pad[jnp.clip(labels, 0, nn)], 0.0).astype(jnp.int32)
-        # block Zobrist key-chunk sums (one MXU matmul; 8-bit chunks are
-        # integers < 256, exact in bf16; f32 accumulation exact below 2^24)
-        colour = jnp.clip(board.astype(jnp.int32) - 1, 0, 1)
-        pos = jnp.arange(nn)
-        chunks = jnp.where(occupied[:, None], self._key_chunks[pos, colour], 0.0).astype(jnp.bfloat16)  # [P, 8]
-        block_chunks = jnp.dot(onehot, chunks, preferred_element_type=jnp.float32)  # [B, 8]
-        return lib_at, onehot, block_chunks
+        empty = board == 0
+        oh = (labels[None, :] == jnp.arange(nn, dtype=jnp.int32)[:, None]) & occupied[None, :]
+        reach = self._adj_or(oh)  # [L, P] cells adjacent to block members
+        lib_count = jnp.sum(reach & empty[None, :], axis=1, dtype=jnp.int32)  # [L]
+        lib_pad = jnp.concatenate([lib_count, jnp.zeros((1,), jnp.int32)])
+        lib_at = jnp.where(occupied, lib_pad[jnp.clip(labels, 0, nn)], 0)
+        # per-cell keys at the stone's colour; int32 adds wrap mod 2^32,
+        # which IS the additive-Zobrist arithmetic (go.cpp:19-71)
+        is_black = board == 1
+        cell_a = jnp.where(is_black, self._grid_key_a[:, 0], self._grid_key_a[:, 1])
+        cell_b = jnp.where(is_black, self._grid_key_b[:, 0], self._grid_key_b[:, 1])
+        bk_a = jnp.sum(jnp.where(oh, cell_a[None, :], 0), axis=1, dtype=jnp.int32)
+        bk_b = jnp.sum(jnp.where(oh, cell_b[None, :], 0), axis=1, dtype=jnp.int32)
+        return lib_at, oh, jnp.stack([bk_a, bk_b], axis=1)
 
-    def _legal_mask_for(self, board, labels, lib_at, onehot, block_chunks, turn,
+    def _legal_mask_for(self, board, labels, lib_at, oh, block_keys, turn,
                         hash_a, hash_b, history_a, history_b, num_moves):
-        """bool[NN + 1] legality for ``turn`` (reference go.cpp:208-243)."""
+        """bool[NN + 1] legality for ``turn`` (reference go.cpp:208-243) —
+        shift/reduce forms only (see ``_adj_or``)."""
         nn = self.nn
         empty = board == 0
         opp = (3 - turn).astype(board.dtype)
         t = jnp.clip(turn.astype(jnp.int32) - 1, 0, 1)
 
-        nbr_board = board[self._nbr]  # [NN, 4]
-        nbr_lib = lib_at[self._nbr]
-        v = self._nbr_valid
-        nbr_empty = jnp.any(v & (nbr_board == 0), axis=1)
-        own_safe = jnp.any(v & (nbr_board == turn) & (nbr_lib > 1), axis=1)
-        nbr_capturable = v & (nbr_board == opp) & (nbr_lib == 1)
-        has_capture = jnp.any(nbr_capturable, axis=1)
+        nbr_empty = self._adj_or(empty)
+        own_safe = self._adj_or((board == turn) & (lib_at > 1))
+        capturable_stone = (board == opp) & (lib_at == 1)
+        has_capture = self._adj_or(capturable_stone)
         legal_basic = empty & (nbr_empty | own_safe | has_capture)
 
         # superko: candidate hash = hash + turn + stone key - captured block
-        # key sums. capB[p, b] = "p captures block b" from one adjacency
-        # matmul (block-level dedup falls out of the >0 threshold), then the
-        # per-candidate key sums from a second small matmul over the exact
-        # f32 sums (at most 4 blocks x < 2^15 per chunk -> exact).
-        capturable_stone = (board == opp) & (lib_at == 1)
-        member_cap = onehot * capturable_stone[None, :].astype(jnp.bfloat16)  # [B, P]
-        capB = jnp.dot(self._adj_bf16, member_cap.T, preferred_element_type=jnp.float32) > 0  # [P, B]
-        cap_chunks = jnp.dot(
-            capB.astype(jnp.float32), block_chunks,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)  # [P, 8]
-        cap_a = cap_chunks[:, 0] + (cap_chunks[:, 1] << 8) + (cap_chunks[:, 2] << 16) + (cap_chunks[:, 3] << 24)
-        cap_b = cap_chunks[:, 4] + (cap_chunks[:, 5] << 8) + (cap_chunks[:, 6] << 16) + (cap_chunks[:, 7] << 24)
-        pos = jnp.arange(nn)
-        new_a = hash_a + self._turn_key_a + self._grid_key_a[pos, t] - cap_a
-        new_b = hash_b + self._turn_key_b + self._grid_key_b[pos, t] - cap_b
+        # key sums. capB[b, p] = "playing p captures block b" (block rows
+        # dedup multi-adjacency), key sums are exact int32 mod-2^32 adds.
+        member_cap = oh & capturable_stone[None, :]  # [L, P]
+        capB = self._adj_or(member_cap)  # [L, P]
+        cap_a = jnp.sum(jnp.where(capB, block_keys[:, 0][:, None], 0), axis=0, dtype=jnp.int32)
+        cap_b = jnp.sum(jnp.where(capB, block_keys[:, 1][:, None], 0), axis=0, dtype=jnp.int32)
+        stone_a = jnp.where(t == 0, self._grid_key_a[:, 0], self._grid_key_a[:, 1])
+        stone_b = jnp.where(t == 0, self._grid_key_b[:, 0], self._grid_key_b[:, 1])
+        new_a = hash_a + self._turn_key_a + stone_a - cap_a
+        new_b = hash_b + self._turn_key_b + stone_b - cap_b
         valid_h = jnp.arange(history_a.shape[0]) < num_moves
         repeat = jnp.any(
             (history_a[None, :] == new_a[:, None]) & (history_b[None, :] == new_b[:, None]) & valid_h[None, :],
@@ -241,46 +246,50 @@ class GoEnv(Env):
         t = jnp.clip(turn.astype(jnp.int32) - 1, 0, 1)
         opp = (3 - turn).astype(state.board.dtype)
         labels, lib_at = state.labels, state.lib_at
+        iota = jnp.arange(nn, dtype=jnp.int32)
+        pos_mask = iota == pos  # scatter-free addressing of the played cell
+        nbr_mask = self._adj_or(pos_mask) & ~is_pass
+
+        # block membership one-hot of the OLD position (one compare; all
+        # label-set operations below become row-ORs over it)
+        oh = (labels[None, :] == iota[:, None]) & (state.board > 0)[None, :]
 
         # captured blocks: distinct opponent neighbours of pos with 1 liberty
-        nbr_pos = self._nbr[pos]  # [4]
-        nbr_pos_valid = self._nbr_valid[pos]
-        nbr_cap = nbr_pos_valid & (state.board[nbr_pos] == opp) & (lib_at[nbr_pos] == 1) & ~is_pass
-        cap_labels = jnp.where(nbr_cap, labels[nbr_pos], nn)  # [4]
-        captured_stone = jnp.any(labels[:, None] == cap_labels[None, :], axis=1) & (state.board > 0)
+        nbr_cap = nbr_mask & (state.board == opp) & (lib_at == 1)
+        block_cap = jnp.any(oh & nbr_cap[None, :], axis=1)  # [L]
+        captured_stone = jnp.any(oh & block_cap[:, None], axis=0)
 
         new_board = jnp.where(captured_stone, jnp.int8(0), state.board)
-        new_board = jnp.where(is_pass, new_board, new_board.at[pos].set(turn))
+        new_board = jnp.where(pos_mask & ~is_pass, turn.astype(jnp.int8), new_board)
 
         # incremental label update: merge own neighbour blocks with the new
         # stone (min label), clear captured blocks
-        own_nbr = nbr_pos_valid & (state.board[nbr_pos] == turn)
-        own_labels = jnp.where(own_nbr, labels[nbr_pos], nn)  # [4]
-        merged = jnp.minimum(jnp.min(own_labels), pos)
-        member_merged = jnp.any(labels[:, None] == own_labels[None, :], axis=1) & (state.board == turn)
+        own_nbr = nbr_mask & (state.board == turn)
+        merged = jnp.minimum(jnp.min(jnp.where(own_nbr, labels, nn)), pos)
+        block_own = jnp.any(oh & own_nbr[None, :], axis=1)  # [L]
+        member_merged = jnp.any(oh & block_own[:, None], axis=0)
         new_labels = jnp.where(captured_stone, nn, labels)
         new_labels = jnp.where(member_merged & ~captured_stone, merged, new_labels)
-        new_labels = new_labels.at[pos].set(jnp.where(is_pass, new_labels[pos], merged))
+        new_labels = jnp.where(pos_mask, merged, new_labels)
         new_labels = jnp.where(is_pass, labels, new_labels)
 
         # additive hash update (go.cpp:141-155, 168-175)
-        colour_opp = 1 - t
-        cap_key_a = jnp.sum(
-            jnp.where(captured_stone, self._grid_key_a[jnp.arange(nn), colour_opp], 0),
-            dtype=jnp.int32,
-        )
-        cap_key_b = jnp.sum(
-            jnp.where(captured_stone, self._grid_key_b[jnp.arange(nn), colour_opp], 0),
-            dtype=jnp.int32,
-        )
-        stone_a = jnp.where(is_pass, 0, self._grid_key_a[pos, t])
-        stone_b = jnp.where(is_pass, 0, self._grid_key_b[pos, t])
+        opp_is_black = opp == 1
+        cell_opp_a = jnp.where(opp_is_black, self._grid_key_a[:, 0], self._grid_key_a[:, 1])
+        cell_opp_b = jnp.where(opp_is_black, self._grid_key_b[:, 0], self._grid_key_b[:, 1])
+        cap_key_a = jnp.sum(jnp.where(captured_stone, cell_opp_a, 0), dtype=jnp.int32)
+        cap_key_b = jnp.sum(jnp.where(captured_stone, cell_opp_b, 0), dtype=jnp.int32)
+        cell_t_a = jnp.where(t == 0, self._grid_key_a[:, 0], self._grid_key_a[:, 1])
+        cell_t_b = jnp.where(t == 0, self._grid_key_b[:, 0], self._grid_key_b[:, 1])
+        stone_a = jnp.sum(jnp.where(pos_mask & ~is_pass, cell_t_a, 0), dtype=jnp.int32)
+        stone_b = jnp.sum(jnp.where(pos_mask & ~is_pass, cell_t_b, 0), dtype=jnp.int32)
         new_hash_a = state.hash_a + self._turn_key_a + stone_a - cap_key_a
         new_hash_b = state.hash_b + self._turn_key_b + stone_b - cap_key_b
 
         hist_idx = jnp.clip(state.num_moves, 0, self.max_moves)
-        history_a = state.history_a.at[hist_idx].set(new_hash_a)
-        history_b = state.history_b.at[hist_idx].set(new_hash_b)
+        hist_iota = jnp.arange(state.history_a.shape[0], dtype=jnp.int32)
+        history_a = jnp.where(hist_iota == hist_idx, new_hash_a, state.history_a)
+        history_b = jnp.where(hist_iota == hist_idx, new_hash_b, state.history_b)
 
         new_turn = opp
         num_moves = state.num_moves + 1

@@ -67,8 +67,8 @@ class KillAllGoEnv(GoEnv):
         area_oh = (area_labels[None, :] == idx[:, None]) & nonw[None, :]  # [L, P]
         area_exists = jnp.any(area_oh, axis=1)
 
-        block_oh = ((state.labels[None, :] == idx[:, None]) & white[None, :]).astype(jnp.float32)
-        reach_b = jnp.dot(block_oh, self._adj_f, preferred_element_type=jnp.float32) > 0  # [Lb, P]
+        block_oh = (state.labels[None, :] == idx[:, None]) & white[None, :]
+        reach_b = self._adj_or(block_oh)  # [Lb, P] (shifts beat adjacency matmuls)
         a2b = (
             jnp.dot(area_oh.astype(jnp.float32), reach_b.T.astype(jnp.float32),
                     preferred_element_type=jnp.float32) > 0
@@ -124,12 +124,14 @@ class KillAllGoEnv(GoEnv):
         connected = nonp[self._nbr] & self._nbr_valid & nonp[:, None]
         area_labels = self._cc_labels(nonp, connected)
 
-        block_oh = ((labels[None, :] == idx[:, None]) & p_stone[None, :]).astype(jnp.float32)  # [L, P]
-        area_oh = ((area_labels[None, :] == idx[:, None]) & nonp[None, :]).astype(jnp.float32)  # [L, P]
-        block_exists = jnp.sum(block_oh, axis=1) > 0
-        area_exists = jnp.sum(area_oh, axis=1) > 0
+        block_oh_b = (labels[None, :] == idx[:, None]) & p_stone[None, :]  # [L, P]
+        area_oh_b = (area_labels[None, :] == idx[:, None]) & nonp[None, :]  # [L, P]
+        block_oh = block_oh_b.astype(jnp.float32)
+        area_oh = area_oh_b.astype(jnp.float32)
+        block_exists = jnp.any(block_oh_b, axis=1)
+        area_exists = jnp.any(area_oh_b, axis=1)
 
-        reach = jnp.dot(block_oh, self._adj_f, preferred_element_type=jnp.float32) > 0  # [L, P]
+        reach = self._adj_or(block_oh_b)  # [L, P] (shifts beat adjacency matmuls)
         lib = (reach & empty[None, :]).astype(jnp.float32)  # liberties of each block
         area_empty = area_oh * empty[None, :].astype(jnp.float32)  # [L, P]
         empty_cnt = jnp.sum(area_empty, axis=1)  # [L]

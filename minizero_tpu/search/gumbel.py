@@ -53,10 +53,15 @@ def _sigma_scores(spec: SearchSpec, tree: Tree) -> jnp.ndarray:
 
 def _top_k_mask(values: jnp.ndarray, mask: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     """bool[A] mask of the top-``k`` entries of ``values`` among ``mask``
-    (k traced). Ranks via argsort — A is small (< few thousand)."""
+    (k traced). Rank by pairwise comparison (ties -> lower index wins): an
+    [A, A] compare+reduce is scatter-free, which beats argsort+scatter under
+    vmap on TPU for small A."""
     masked = jnp.where(mask, values, NEG_INF)
-    order = jnp.argsort(-masked)  # descending
-    ranks = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+    idx = jnp.arange(masked.shape[0])
+    beats = (masked[None, :] > masked[:, None]) | (
+        (masked[None, :] == masked[:, None]) & (idx[None, :] < idx[:, None])
+    )
+    ranks = jnp.sum(beats, axis=1)  # number of entries strictly ahead
     return mask & (ranks < k)
 
 

@@ -332,14 +332,13 @@ class GoEnv(Env):
         connected = empty[self._nbr] & self._nbr_valid & empty[:, None]
         labels = self._cc_labels(empty, connected)
 
-        nbr_board = board[self._nbr]
-        touch_b0 = (empty & jnp.any(self._nbr_valid & (nbr_board == 1), axis=1)).astype(jnp.float32)
-        touch_w0 = (empty & jnp.any(self._nbr_valid & (nbr_board == 2), axis=1)).astype(jnp.float32)
+        touch_b0 = empty & self._adj_or(board == 1)
+        touch_w0 = empty & self._adj_or(board == 2)
         onehot = (
             (labels[None, :] == jnp.arange(nn, dtype=jnp.int32)[:, None]) & empty[None, :]
-        ).astype(jnp.float32)  # [R(labels), P]
-        region_b = jnp.dot(onehot, touch_b0, preferred_element_type=jnp.float32) > 0  # [R]
-        region_w = jnp.dot(onehot, touch_w0, preferred_element_type=jnp.float32) > 0
+        )  # [R(labels), P] bool
+        region_b = jnp.any(onehot & touch_b0[None, :], axis=1)  # [R]
+        region_w = jnp.any(onehot & touch_w0[None, :], axis=1)
         region_b = jnp.concatenate([region_b, jnp.zeros((1,), bool)])
         region_w = jnp.concatenate([region_w, jnp.zeros((1,), bool)])
         lab_clip = jnp.clip(labels, 0, nn)

@@ -286,8 +286,9 @@ def expand_node(
     policy_logit: jnp.ndarray,  # f32[A]
     legal: jnp.ndarray,  # bool[A] candidate mask
     terminal: jnp.ndarray,  # bool: node is a terminal state -> not expanded
-    embedding: Any,
+    embedding: Any = None,
     enabled: jnp.ndarray = None,
+    store_embedding: bool = True,
 ) -> Tree:
     """Materialise node ``node_idx`` with its child candidate rows.
 
@@ -309,11 +310,16 @@ def expand_node(
     node_m = (jnp.arange(n) == node_idx) & enabled  # bool[N]
     parent_m = (jnp.arange(n) == parent) & (parent >= 0) & enabled
 
-    def write_embedding(full, leaf):
-        m = node_m.reshape((n,) + (1,) * (full.ndim - 1))
-        return jnp.where(m, leaf[None].astype(full.dtype), full)
+    if store_embedding:
+        def write_embedding(full, leaf):
+            m = node_m.reshape((n,) + (1,) * (full.ndim - 1))
+            return jnp.where(m, leaf[None].astype(full.dtype), full)
 
-    new_embedding = jax.tree_util.tree_map(write_embedding, tree.embedding, embedding)
+        new_embedding = jax.tree_util.tree_map(write_embedding, tree.embedding, embedding)
+    else:
+        # caller stores embeddings batch-level at a batch-uniform slot
+        # (store_embedding_batch) — far cheaper inside the sim loop
+        new_embedding = tree.embedding
     row_m = node_m[:, None]  # [N, 1]
     child_write = parent_m[:, None] & (jnp.arange(tree.children_index.shape[1]) == action)[None, :]
     return tree.replace(
@@ -328,6 +334,27 @@ def expand_node(
         legal=jnp.where(row_m, (legal & expanded)[None, :], tree.legal),
         num_nodes=jnp.maximum(tree.num_nodes, jnp.where(enabled, node_idx + 1, 0)),
     ).replace(embedding=new_embedding)
+
+
+def store_embedding_batch(trees: Tree, slot: jnp.ndarray, leaf_embedding: Any,
+                          enabled: jnp.ndarray) -> Tree:
+    """Write the batch's leaf embeddings into node ``slot`` of every tree.
+
+    ``slot`` is batch-uniform (the sim counter: node s is created at sim s),
+    so this is a dynamic-update-slice along the node axis — XLA keeps it
+    in-place inside the sim loop, where a per-game masked rewrite would copy
+    the full [B, N, ...] embedding arrays every simulation. ``enabled``
+    (bool[B]) keeps the old content for games that revisited an existing
+    node instead of creating one."""
+    def write(full, leaf):
+        cur = jax.lax.dynamic_slice_in_dim(full, slot, 1, axis=1)[:, 0]
+        m = enabled.reshape((-1,) + (1,) * (leaf.ndim - 1))
+        sel = jnp.where(m, leaf.astype(full.dtype), cur)
+        return jax.lax.dynamic_update_slice_in_dim(full, sel[:, None], slot, axis=1)
+
+    return trees.replace(
+        embedding=jax.tree_util.tree_map(write, trees.embedding, leaf_embedding)
+    )
 
 
 def backup(

@@ -69,10 +69,14 @@ def make_muzero_search(
         no_parent = jnp.full((batch,), -1, jnp.int32)
         zeros_i = jnp.zeros((batch,), jnp.int32)
         falses = jnp.zeros((batch,), bool)
-        trees = jax.vmap(functools.partial(mcts.expand_node, spec))(
-            trees, zeros_i, no_parent, zeros_i, turns, policy, logits, legal, falses,
-            root_embedding,
-        )
+        trees = jax.vmap(
+            functools.partial(mcts.expand_node, spec, store_embedding=False)
+        )(trees, zeros_i, no_parent, zeros_i, turns, policy, logits, legal, falses)
+        # root embedding lives at slot 0 for every game: static-index store
+        trees = trees.replace(embedding=jax.tree_util.tree_map(
+            lambda full, st: full.at[:, 0].set(st.astype(full.dtype)),
+            trees.embedding, root_embedding,
+        ))
         trees = jax.vmap(functools.partial(mcts.backup, spec))(
             trees, zeros_i, value, jnp.zeros((batch,), jnp.float32)
         )
@@ -116,12 +120,13 @@ def make_muzero_search(
             )
             node_idx = jnp.full((batch,), s, jnp.int32)
 
-            def per_game(tree, sel, policy, logits, legal, terminal, value, reward, turn, embedding, nidx):
+            def per_game(tree, sel, policy, logits, legal, terminal, value, reward, turn, nidx):
                 # no lax.cond: a vmapped cond executes both branches anyway,
                 # so expand is predicated and backup runs for both cases
                 tree = mcts.expand_node(
                     spec, tree, nidx, sel.parent, sel.action, turn,
-                    policy, logits, legal, terminal, embedding, enabled=sel.is_new,
+                    policy, logits, legal, terminal, enabled=sel.is_new,
+                    store_embedding=False,
                 )
                 start = jnp.where(sel.is_new, nidx, jnp.maximum(sel.leaf, 0))
                 val = jnp.where(sel.is_new, value, tree.value[start])
@@ -130,8 +135,10 @@ def make_muzero_search(
 
             trees = jax.vmap(per_game)(
                 trees, sel, policy, logits, leaf_legal, leaf_terminal, value, reward,
-                leaf_turn, leaf_embedding, node_idx,
+                leaf_turn, node_idx,
             )
+            # node s is created at sim s: batch-uniform slot -> in-place DUS
+            trees = mcts.store_embedding_batch(trees, s, leaf_embedding, sel.is_new)
             if spec.use_gumbel:
                 trees = jax.vmap(functools.partial(gz.sequential_halving_tick, spec))(trees)
             return trees, rng

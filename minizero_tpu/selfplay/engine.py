@@ -76,10 +76,14 @@ class SelfPlayEngine:
     """Batched self-play over one device (multi-host sharding layered on top,
     SURVEY.md §7 stage 8)."""
 
-    def __init__(self, env: Env, cfg: Config, network, eval_mode: bool = False, use_bf16: bool = True):
+    def __init__(self, env: Env, cfg: Config, network, eval_mode: bool = False, use_bf16: bool = True,
+                 _ablate: tuple = ()):
         self.env = env
         self.cfg = cfg
         self.network = network
+        # profiling hook (scripts/perf_ablate.py): skip named pieces of the
+        # sim loop to attribute in-jit move time; never set in real runs
+        self._ablate = frozenset(_ablate)
         self.spec = search_spec_from_config(cfg, env.spec, eval_mode=eval_mode)
         self.is_muzero = not isinstance(network, AlphaZeroNetwork)
         self.use_rotation = (
@@ -233,10 +237,19 @@ class SelfPlayEngine:
         if spec.use_gumbel:
             trees = jax.vmap(functools.partial(gz.init_candidates, spec))(trees)
 
+        ablate = self._ablate
+
         def sim_body(s, carry):
             trees, rng = carry
             rng, k_rot = jax.random.split(rng)
-            if spec.use_gumbel:
+            if "select" in ablate:
+                sel = mcts.Selection(
+                    parent=jnp.zeros((batch,), jnp.int32),
+                    action=jnp.full((batch,), 0, jnp.int32),
+                    leaf=jnp.full((batch,), -1, jnp.int32),
+                    is_new=jnp.ones((batch,), bool),
+                )
+            elif spec.use_gumbel:
                 sel = jax.vmap(functools.partial(gz.gumbel_select_leaf, spec))(trees)
             else:
                 sel = jax.vmap(lambda t: mcts.select_leaf(spec, t, jnp.int32(0)))(trees)
@@ -246,22 +259,36 @@ class SelfPlayEngine:
                 trees.embedding,
             )
 
-            leaf_states = jax.vmap(env.step)(parent_embedding, sel.action)
-            leaf_terminal = jax.vmap(env.is_terminal)(leaf_states)
-            leaf_feats = jax.vmap(env.features)(leaf_states)
-            policy, logits, net_value = self._forward_features(
-                variables, leaf_feats, jax.random.split(k_rot, batch)
-            )
+            if "step" in ablate:
+                leaf_states = parent_embedding
+                leaf_terminal = jnp.zeros((batch,), bool)
+            else:
+                leaf_states = jax.vmap(env.step)(parent_embedding, sel.action)
+                leaf_terminal = jax.vmap(env.is_terminal)(leaf_states)
+            if "feats" in ablate:
+                leaf_feats = feats
+            else:
+                leaf_feats = jax.vmap(env.features)(leaf_states)
+            if "net" in ablate:
+                leaf_policy, leaf_logits = policy, logits  # reuse root outputs
+                net_value = jnp.zeros((batch,), jnp.float32)
+            else:
+                leaf_policy, leaf_logits, net_value = self._forward_features(
+                    variables, leaf_feats, jax.random.split(k_rot, batch)
+                )
             # terminal leaves back up the true outcome instead of the net
             # value (reference zero_actor.cpp:79-86); scoring (the most
             # expensive env query) runs only when some lane actually
             # reached a terminal state
-            scores = jax.lax.cond(
-                jnp.any(leaf_terminal),
-                lambda s: jax.vmap(env.eval_score)(s),
-                lambda s: jnp.zeros((batch,), jnp.float32),
-                leaf_states,
-            )
+            if "score" in ablate:
+                scores = jnp.zeros((batch,), jnp.float32)
+            else:
+                scores = jax.lax.cond(
+                    jnp.any(leaf_terminal),
+                    lambda s: jax.vmap(env.eval_score)(s),
+                    lambda s: jnp.zeros((batch,), jnp.float32),
+                    leaf_states,
+                )
             value = jnp.where(leaf_terminal, scores, net_value)
             reward = jax.vmap(env.reward)(leaf_states)
             leaf_embedding = leaf_states
@@ -283,13 +310,14 @@ class SelfPlayEngine:
                 rew = jnp.where(sel.is_new, reward, tree.reward[start])
                 return mcts.backup(spec, tree, start, val, rew, store_leaf=sel.is_new)
 
-            trees = jax.vmap(functools.partial(per_game))(
-                trees, sel, policy, logits, leaf_legal, leaf_terminal, value, reward,
-                leaf_turn, node_idx,
-            )
+            if "expand" not in ablate:
+                trees = jax.vmap(functools.partial(per_game))(
+                    trees, sel, leaf_policy, leaf_logits, leaf_legal, leaf_terminal, value, reward,
+                    leaf_turn, node_idx,
+                )
             # node s is created at sim s: batch-uniform slot -> in-place DUS
             trees = mcts.store_embedding_batch(trees, s, leaf_embedding, sel.is_new)
-            if spec.use_gumbel:
+            if spec.use_gumbel and "halving" not in ablate:
                 trees = jax.vmap(functools.partial(gz.sequential_halving_tick, spec))(trees)
             return trees, rng
 

@@ -165,3 +165,21 @@ def test_learning_smoke(tmp_path):
     r = play_match(cfg.replace(zero_num_parallel_games=16), loop.variables, init_vars,
                    num_games=48, seed=9)
     assert r.p1_win_rate > 0.7, f"expected clear improvement, got {r}"
+
+
+def test_profile_tool():
+    """Profiler drives self-play + train phases and reports timings
+    (SURVEY §5.1: profiling as a first-class tool)."""
+    from minizero_tpu.config import algorithm_preset, default_config
+    from minizero_tpu.tools.profile import profile_selfplay
+
+    over = dict(algorithm_preset("gaz"))
+    over.update(actor_num_simulation=2, actor_gumbel_sample_size=2,
+                nn_num_blocks=1, nn_num_hidden_channels=8,
+                nn_num_value_hidden_channels=8, learner_batch_size=4)
+    cfg = default_config("tictactoe", **over)
+    rows = profile_selfplay(cfg, moves=2, batch=4, train_steps=1)
+    phases = {r["phase"] for r in rows}
+    assert {"selfplay_compile", "selfplay_steady", "train_compile", "train_steady"} <= phases
+    steady = next(r for r in rows if r["phase"] == "selfplay_steady")
+    assert steady["env_steps_per_sec"] > 0

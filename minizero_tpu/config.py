@@ -102,6 +102,7 @@ _PARAMS: Tuple[Tuple[str, Any, str, str], ...] = (
     ("env_gomoku_exactly_five_stones", True, "true for standard Gomoku; false for freestyle Gomoku", "Environment"),
     ("env_havannah_use_swap_rule", True, "true for enabling swap rule in Havannah", "Environment"),
     ("env_hex_use_swap_rule", True, "the swap rule in Hex", "Environment"),
+    ("env_killallgo_ko_rule", "positional", "the ko rules in Killall-Go: positional (only consider stones), situational (consider stones and the turn)", "Environment"),
     ("env_killallgo_use_seki", False, "true for enabling seki", "Environment"),
     ("env_rubiks_scramble_rotate", 5, "the number of random rotations from the initial state of a rubik's cube", "Environment"),
     ("env_surakarta_no_capture_plies", 50, "game is over if playing this many plies without capture", "Environment"),

@@ -78,7 +78,8 @@ _TABLE: Dict[str, Tuple[str, str, Callable[..., Dict[str, Any]], Dict[str, Any]]
     "killallgo": (
         "minizero_tpu.envs.killallgo",
         "KillAllGoEnv",
-        lambda cfg: {"board_size": cfg.env_board_size or 7, "use_seki": cfg.env_killallgo_use_seki},
+        lambda cfg: {"board_size": cfg.env_board_size or 7, "use_seki": cfg.env_killallgo_use_seki,
+                     "ko_rule": cfg.env_killallgo_ko_rule},
         {"env_board_size": 7, "actor_dirichlet_noise_alpha": 0.03},
     ),
     "clobber": (

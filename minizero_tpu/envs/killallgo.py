@@ -31,8 +31,9 @@ from minizero_tpu.envs.go import GoEnv, GoState
 
 class KillAllGoEnv(GoEnv):
     def __init__(self, board_size: int = 7, use_seki: bool = False,
-                 seki_min_size: int = 5, seki_max_size: int = 8):
-        super().__init__(board_size=board_size, komi=0.0)
+                 seki_min_size: int = 5, seki_max_size: int = 8,
+                 ko_rule: str = "positional"):
+        super().__init__(board_size=board_size, komi=0.0, ko_rule=ko_rule)
         self.spec = dataclasses.replace(self.spec, name=f"killallgo_{board_size}x{board_size}")
         self.use_seki = bool(use_seki)
         if self.use_seki:

@@ -261,3 +261,16 @@ def test_killallgo_seki_detection():
     # plain env (no seki flag) still works and never consults the table
     env_plain = KillAllGoEnv(7)
     assert not env_plain.use_seki
+
+
+def test_killallgo_ko_rule_config():
+    """env_killallgo_ko_rule reaches the Go superko hash (reference
+    configuration.cpp:187 aliases env_go_ko_rule for killallgo builds)."""
+    from minizero_tpu.config import default_config
+    from minizero_tpu.envs import make_env
+
+    cfg = default_config("killallgo").replace(env_killallgo_ko_rule="situational")
+    env = make_env(cfg)
+    assert isinstance(env, KillAllGoEnv)
+    assert env.situational
+    assert not make_env(default_config("killallgo")).situational

@@ -81,7 +81,8 @@ class ConsoleActor:
         if variables is None:
             variables = init_network(self.network, self.env.spec, jax.random.PRNGKey(cfg.program_seed))
         self.variables = variables
-        self.engine = SelfPlayEngine(self.env, cfg, self.network, use_bf16=False)
+        self.engine = SelfPlayEngine(self.env, cfg, self.network, use_bf16=False,
+                                     use_think_batch=cfg.actor_mcts_think_batch_size > 1)
         self.rng = jax.random.PRNGKey(cfg.program_seed)
         self.reset()
 

@@ -131,7 +131,12 @@ def gumbel_select_leaf(spec: SearchSpec, tree: Tree) -> Selection:
         return sel
 
     def new_edge(_):
-        return Selection(parent=jnp.int32(0), action=action, leaf=jnp.int32(-1), is_new=jnp.bool_(True))
+        if spec.think_batch > 1:
+            dup = tree.evloss[0, action] > 0
+        else:
+            dup = jnp.bool_(False)
+        return Selection(parent=jnp.int32(0), action=action, leaf=jnp.int32(-1),
+                         is_new=jnp.bool_(True), dup=dup)
 
     return jax.lax.cond(child >= 0, from_child, new_edge, None)
 

@@ -61,13 +61,19 @@ class SearchSpec:
     # action selection
     select_by_count: bool = False
     softmax_value_threshold: float = 0.1
+    # intra-tree leaf batching with virtual loss (console/eval only,
+    # reference ZeroActor::step, zero_actor.cpp:129-157)
+    think_batch: int = 1
 
     @property
     def max_nodes(self) -> int:
         # root + one node per simulation (reference allocates
         # (num_simulation + 1) * action_size node pool, actor_group.cpp:183;
-        # the dense child-stat layout needs only visited nodes)
-        return self.num_simulations + 1
+        # the dense child-stat layout needs only visited nodes). With leaf
+        # batching, one slot per selection: rounds * think_batch.
+        k = max(1, self.think_batch)
+        rounds = -(-self.num_simulations // k)
+        return rounds * k + 1
 
 
 @flax.struct.dataclass
@@ -91,6 +97,13 @@ class Tree:
     noise: jnp.ndarray  # f32[N, A] policy_noise_
     legal: jnp.ndarray  # bool[N, A]
     num_nodes: jnp.ndarray  # i32 scalar: next free node slot
+    # virtual loss for intra-tree leaf batching (reference mcts.h:33-47);
+    # evloss[n, a] = in-flight selections through edge (n, a) this round,
+    # nvloss[n] = in-flight selections through node n (= evloss of its
+    # in-edge; kept separately to avoid parent gathers). Both are zero
+    # outside a think-batch round.
+    evloss: jnp.ndarray  # f32[N, A]
+    nvloss: jnp.ndarray  # f32[N]
     # gumbel sequential-halving state (reference gumbel_zero.h:10-22)
     gumbel_active: jnp.ndarray  # bool[A]: root actions still candidates
     gumbel_sample_size: jnp.ndarray  # i32
@@ -123,6 +136,8 @@ def init_tree(spec: SearchSpec, embedding_proto: Any, root_to_play: jnp.ndarray)
         noise=jnp.zeros((n, a), jnp.float32),
         legal=jnp.zeros((n, a), bool),
         num_nodes=jnp.int32(1),
+        evloss=jnp.zeros((n, a), jnp.float32),
+        nvloss=jnp.zeros((n,), jnp.float32),
         gumbel_active=jnp.zeros((a,), bool),
         gumbel_sample_size=jnp.int32(0),
         gumbel_budget=jnp.float32(0.0),
@@ -197,13 +212,25 @@ def _children_stats(spec: SearchSpec, tree: Tree, node: jnp.ndarray):
     edge_player = tree.to_play[node]
     q_norm = _normalize_q(spec, c_q_raw, edge_player, _tree_value_bounds(spec, tree))
     q_norm = jnp.where(has_child & (c_visits > 0), q_norm, 0.0)
+    if spec.think_batch > 1:
+        # virtual-loss dilution (reference mcts.cpp:51): each in-flight
+        # selection counts as a -1 outcome for the edge player; edges with
+        # only virtual visits score -1, matching an unexpanded reference
+        # child node carrying pure virtual loss
+        ev = tree.evloss[node]
+        cv = c_visits + ev
+        q_norm = jnp.where(cv > 0, (q_norm * c_visits - ev) / jnp.maximum(cv, 1e-8), 0.0)
+        c_visits = cv
     return cidx, has_child, c_visits, q_norm
 
 
 def _puct_scores(spec: SearchSpec, tree: Tree, node: jnp.ndarray) -> jnp.ndarray:
     """[A] PUCT scores for one node's children; illegal actions -> -inf."""
     cidx, has_child, c_visits, q_norm = _children_stats(spec, tree, node)
-    visited = has_child & (c_visits > 0)
+    # c_visits is count-with-virtual-loss when think_batch > 1; a child with
+    # only virtual visits still counts as visited (reference
+    # calculateInitQValue skips getCountWithVirtualLoss() == 0, mcts.cpp:206)
+    visited = c_visits > 0
 
     # init Q for unvisited children (reference mcts.cpp:200-217)
     sum_q = jnp.sum(jnp.where(visited, q_norm, 0.0))
@@ -214,6 +241,9 @@ def _puct_scores(spec: SearchSpec, tree: Tree, node: jnp.ndarray) -> jnp.ndarray
         init_q = (sum_q - 1.0) / (num_visited + 1.0)
 
     total_sim = tree.visits[node] - 1.0
+    if spec.think_batch > 1:
+        # reference selectChildByPUCTScore: getCountWithVirtualLoss() - 1
+        total_sim = total_sim + tree.nvloss[node]
     puct_bias = spec.puct_init + jnp.log((1.0 + total_sim + spec.puct_base) / spec.puct_base)
     u = puct_bias * tree.prior[node] * jnp.sqrt(jnp.maximum(total_sim, 0.0)) / (1.0 + c_visits)
     q = jnp.where(visited, q_norm, init_q)
@@ -237,6 +267,11 @@ class Selection:
     action: jnp.ndarray  # i32: selected action at parent
     leaf: jnp.ndarray  # i32: existing leaf node revisited (-1 if new edge)
     is_new: jnp.ndarray  # bool: True -> create a node for (parent, action)
+    # True when this new edge was already selected this think-batch round —
+    # evaluated/expanded once; later selections back up the stored leaf value
+    # (reference dedups in-flight leaves, zero_actor.cpp:141-144). Always
+    # False when think_batch == 1.
+    dup: jnp.ndarray = None
 
 
 def select_leaf(spec: SearchSpec, tree: Tree, from_node: jnp.ndarray) -> Selection:
@@ -268,7 +303,53 @@ def select_leaf(spec: SearchSpec, tree: Tree, from_node: jnp.ndarray) -> Selecti
     start_leaf = ~tree.expanded[from_node]
     is_new = (nxt < 0) & ~start_leaf
     leaf = jnp.where(start_leaf, from_node, jnp.where(is_new, NO_NODE, nxt))
-    return Selection(parent=node, action=action, leaf=leaf, is_new=is_new)
+    if spec.think_batch > 1:
+        dup = tree.evloss[node, action] > 0
+    else:
+        dup = jnp.bool_(False)
+    return Selection(parent=node, action=action, leaf=leaf, is_new=is_new, dup=dup)
+
+
+def add_path_vloss(spec: SearchSpec, tree: Tree, sel: Selection,
+                   enabled: jnp.ndarray = None) -> Tree:
+    """+1 virtual loss on every edge and node of the selected path
+    (reference ZeroActor::step adds to the whole node_path_,
+    zero_actor.cpp:145). Scatter-free iota-mask adds over the tiny [N(,A)]
+    arrays; all of it is removed at the end of the round (clear_vloss) —
+    the reference's removeVirtualLoss bookkeeping nets out to exactly
+    that."""
+    if enabled is None:
+        enabled = jnp.bool_(True)
+    n, a = tree.evloss.shape
+    iota_n = jnp.arange(n)
+    iota_a = jnp.arange(a)
+    one = enabled.astype(jnp.float32)
+    # the selected edge itself (its child node may not exist yet)
+    ev = tree.evloss + ((iota_n == sel.parent)[:, None] & (iota_a == sel.action)[None, :]) * one
+
+    def cond(carry):
+        node, _, _ = carry
+        return node >= 0
+
+    def body(carry):
+        node, ev, nv = carry
+        nv = nv + (iota_n == node) * one
+        safe = jnp.maximum(node, 0)
+        p = tree.parent[safe]
+        pa = tree.action_from_parent[safe]
+        ev = ev + (((iota_n == p)[:, None] & (iota_a == pa)[None, :]) & (p >= 0)) * one
+        return (p, ev, nv)
+
+    _, ev, nv = jax.lax.while_loop(cond, body, (sel.parent, ev, tree.nvloss))
+    return tree.replace(evloss=ev, nvloss=nv)
+
+
+def clear_vloss(tree: Tree) -> Tree:
+    """End-of-round virtual-loss removal: every selection's loss is added and
+    removed within one round (reference zero_actor.cpp:152-156), so the net
+    effect is zeroing."""
+    return tree.replace(evloss=jnp.zeros_like(tree.evloss),
+                        nvloss=jnp.zeros_like(tree.nvloss))
 
 
 # --------------------------------------------------------------------------
@@ -364,18 +445,23 @@ def backup(
     value: jnp.ndarray,
     reward: jnp.ndarray,
     store_leaf: jnp.ndarray = None,
+    enabled: jnp.ndarray = None,
 ) -> Tree:
     """Propagate ``value`` from ``leaf`` to the root with incremental means and
     per-step reward discounting (reference MCTS::backup, mcts.cpp:166-179).
 
     ``store_leaf`` (traced bool, default True) controls whether ``value`` /
     ``reward`` are written at the leaf — False on revisits, where the stored
-    values are the inputs. Updates are iota-mask selects (scatter-free)."""
+    values are the inputs. ``enabled`` (traced bool, default True) turns the
+    whole backup into a no-op — used by think-batch rounds for deduplicated
+    in-flight leaves. Updates are iota-mask selects (scatter-free)."""
     n = spec.max_nodes
     iota = jnp.arange(n)
     if store_leaf is None:
         store_leaf = jnp.bool_(True)
-    leaf_m = (iota == leaf) & store_leaf
+    if enabled is None:
+        enabled = jnp.bool_(True)
+    leaf_m = (iota == leaf) & store_leaf & enabled
     tree = tree.replace(
         value=jnp.where(leaf_m, value, tree.value),
         reward=jnp.where(leaf_m, reward, tree.reward),
@@ -387,7 +473,7 @@ def backup(
 
     def body(carry):
         node, updated, visits, mean = carry
-        m = iota == node
+        m = (iota == node) & enabled
         new_count = visits + m.astype(jnp.float32)
         mean = mean + jnp.where(m, (updated - mean) / jnp.maximum(new_count, 1.0), 0.0)
         visits = new_count
@@ -395,7 +481,8 @@ def backup(
         updated = tree.reward[node_c] + spec.discount * updated
         return (tree.parent[node_c], updated, visits, mean)
 
-    _, _, visits, mean = jax.lax.while_loop(cond, body, (leaf, value, tree.visits, tree.mean))
+    start = jnp.where(enabled, leaf, NO_NODE)
+    _, _, visits, mean = jax.lax.while_loop(cond, body, (start, value, tree.visits, tree.mean))
     return tree.replace(visits=visits, mean=mean)
 
 

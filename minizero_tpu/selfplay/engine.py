@@ -32,10 +32,12 @@ from minizero_tpu.search.mcts import SearchSpec, Tree
 from minizero_tpu.utils.transforms import from_discrete_value
 
 
-def search_spec_from_config(cfg: Config, env_spec, eval_mode: bool = False) -> SearchSpec:
+def search_spec_from_config(cfg: Config, env_spec, eval_mode: bool = False,
+                            think_batch: int = 1) -> SearchSpec:
     """Build the static search spec (eval mode disables exploration noise,
     reference ``README.md:203`` eval recipe)."""
     return SearchSpec(
+        think_batch=max(1, think_batch),
         action_size=env_spec.action_size,
         num_simulations=cfg.actor_num_simulation,
         puct_base=cfg.actor_mcts_puct_base,
@@ -77,15 +79,21 @@ class SelfPlayEngine:
     SURVEY.md §7 stage 8)."""
 
     def __init__(self, env: Env, cfg: Config, network, eval_mode: bool = False, use_bf16: bool = True,
-                 _ablate: tuple = ()):
+                 use_think_batch: bool = False, _ablate: tuple = ()):
         self.env = env
         self.cfg = cfg
         self.network = network
         # profiling hook (scripts/perf_ablate.py): skip named pieces of the
         # sim loop to attribute in-jit move time; never set in real runs
         self._ablate = frozenset(_ablate)
-        self.spec = search_spec_from_config(cfg, env.spec, eval_mode=eval_mode)
         self.is_muzero = not isinstance(network, AlphaZeroNetwork)
+        # intra-tree leaf batching with virtual loss — console/eval only,
+        # like the reference ("only works when running console",
+        # configuration.cpp actor_mcts_think_batch_size). AlphaZero path
+        # only for now; the MuZero device search runs one leaf per forward.
+        think_batch = cfg.actor_mcts_think_batch_size if (use_think_batch and not self.is_muzero) else 1
+        self.spec = search_spec_from_config(cfg, env.spec, eval_mode=eval_mode,
+                                            think_batch=think_batch)
         self.use_rotation = (
             cfg.actor_use_random_rotation_features and not self.is_muzero and env.num_rotations() > 1
         )
@@ -248,6 +256,7 @@ class SelfPlayEngine:
                     action=jnp.full((batch,), 0, jnp.int32),
                     leaf=jnp.full((batch,), -1, jnp.int32),
                     is_new=jnp.ones((batch,), bool),
+                    dup=jnp.zeros((batch,), bool),
                 )
             elif spec.use_gumbel:
                 sel = jax.vmap(functools.partial(gz.gumbel_select_leaf, spec))(trees)
@@ -321,7 +330,112 @@ class SelfPlayEngine:
                 trees = jax.vmap(functools.partial(gz.sequential_halving_tick, spec))(trees)
             return trees, rng
 
-        trees, rng = jax.lax.fori_loop(1, spec.num_simulations + 1, sim_body, (trees, rng))
+        def think_batch_round(r, carry):
+            """One console think-batch round: K virtual-loss selections, ONE
+            network forward over all K leaves, K (deduplicated) expansions +
+            backups (reference ZeroActor::step, zero_actor.cpp:129-157)."""
+            K = spec.think_batch
+            trees, rng = carry
+            rng, k_rot = jax.random.split(rng)
+            sels = []
+            for j in range(K):
+                sim_idx = r * K + j + 1
+                en = sim_idx <= spec.num_simulations  # last round may be short
+                en_b = jnp.broadcast_to(en, (batch,))
+                if spec.use_gumbel:
+                    sel = jax.vmap(functools.partial(gz.gumbel_select_leaf, spec))(trees)
+                else:
+                    sel = jax.vmap(lambda t: mcts.select_leaf(spec, t, jnp.int32(0)))(trees)
+                trees = jax.vmap(functools.partial(mcts.add_path_vloss, spec))(trees, sel, en_b)
+                sels.append((sel, en))
+
+            parents = jnp.stack([s.parent for s, _ in sels])  # [K, B]
+            actions = jnp.stack([s.action for s, _ in sels])  # [K, B]
+            parent_embedding = jax.tree_util.tree_map(
+                lambda x: jax.vmap(
+                    lambda pk: jax.vmap(lambda e, p: e[jnp.maximum(p, 0)])(x, pk)
+                )(parents),
+                trees.embedding,
+            )  # [K, B, ...]
+
+            def flat(x):
+                return x.reshape((K * batch,) + x.shape[2:])
+
+            def unflat(x):
+                return x.reshape((K, batch) + x.shape[1:])
+
+            parent_flat = jax.tree_util.tree_map(flat, parent_embedding)
+            leaf_states = jax.vmap(env.step)(parent_flat, flat(actions))
+            leaf_terminal = jax.vmap(env.is_terminal)(leaf_states)
+            leaf_feats = jax.vmap(env.features)(leaf_states)
+            leaf_policy, leaf_logits, net_value = self._forward_features(
+                variables, leaf_feats, jax.random.split(k_rot, K * batch)
+            )
+            scores = jax.lax.cond(
+                jnp.any(leaf_terminal),
+                lambda s: jax.vmap(env.eval_score)(s),
+                lambda s: jnp.zeros((K * batch,), jnp.float32),
+                leaf_states,
+            )
+            value = jnp.where(leaf_terminal, scores, net_value)
+            reward = jax.vmap(env.reward)(leaf_states)
+            leaf_legal = jax.vmap(env.legal_mask)(leaf_states)
+            leaf_turn = jax.vmap(env.turn)(leaf_states)
+
+            def per_game(tree, sel, policy, logits, legal, terminal, value, reward, turn, nidx, en):
+                # fresh: first in-round selection of a new edge -> expand at
+                # slot nidx and back up the network/terminal value. dup'd new
+                # edges re-use the node the earlier in-round selection created
+                # (children_index was just written); revisits and dups back up
+                # the stored leaf value. Unlike the reference (which drops
+                # dup'd queries and re-selects, zero_actor.cpp:141-144), every
+                # selection here completes a simulation — fixed-shape loops
+                # can't re-run selections, and the leaf value is known anyway.
+                fresh = sel.is_new & ~sel.dup
+                tree = mcts.expand_node(
+                    spec, tree, nidx, sel.parent, sel.action, turn,
+                    policy, logits, legal, terminal, enabled=fresh & en,
+                    store_embedding=False,
+                )
+                known_node = jnp.where(
+                    sel.is_new, tree.children_index[sel.parent, sel.action], sel.leaf
+                )
+                start = jnp.where(fresh, nidx, jnp.maximum(known_node, 0))
+                val = jnp.where(fresh, value, tree.value[start])
+                rew = jnp.where(fresh, reward, tree.reward[start])
+                return mcts.backup(spec, tree, start, val, rew,
+                                   store_leaf=fresh, enabled=en)
+
+            for j, (sel, en) in enumerate(sels):
+                slot = r * K + j + 1
+                en_b = jnp.broadcast_to(en, (batch,))
+
+                def jv(x):
+                    return unflat(x)[j]
+
+                trees = jax.vmap(per_game)(
+                    trees, sel, jv(leaf_policy), jv(leaf_logits), jv(leaf_legal),
+                    jv(leaf_terminal), jv(value), jv(reward), jv(leaf_turn),
+                    jnp.full((batch,), 0, jnp.int32) + slot, en_b,
+                )
+                leaf_emb_j = jax.tree_util.tree_map(jv, leaf_states)
+                trees = mcts.store_embedding_batch(
+                    trees, slot, leaf_emb_j, sel.is_new & ~sel.dup & en_b
+                )
+                if spec.use_gumbel:
+                    trees = jax.vmap(functools.partial(gz.sequential_halving_tick, spec))(trees)
+            # end of round: every selection's virtual loss is removed
+            # (reference zero_actor.cpp:152-156 nets out to zero)
+            trees = trees.replace(evloss=jnp.zeros_like(trees.evloss),
+                                  nvloss=jnp.zeros_like(trees.nvloss))
+            return trees, rng
+
+        if spec.think_batch > 1:
+            trees, rng = jax.lax.fori_loop(
+                0, -(-spec.num_simulations // spec.think_batch), think_batch_round, (trees, rng)
+            )
+        else:
+            trees, rng = jax.lax.fori_loop(1, spec.num_simulations + 1, sim_body, (trees, rng))
 
         # ---- action decision (reference ZeroActor::decideActionNode,
         # zero_actor.cpp:178-192)

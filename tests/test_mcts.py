@@ -113,6 +113,57 @@ def test_full_selfplay_game():
     assert finished >= B  # every slot should have finished at least one game
 
 
+def test_think_batch_move_invariants():
+    """Intra-tree leaf batching (reference ZeroActor::step virtual-loss
+    batching, zero_actor.cpp:129-157): K selections per forward must still
+    produce a valid move + normalized policy target."""
+    env, cfg, net, variables, _ = make_engine(sims=24)
+    cfg = cfg.replace(actor_mcts_think_batch_size=4)
+    engine = SelfPlayEngine(env, cfg, net, use_think_batch=True)
+    assert engine.spec.think_batch == 4
+    states = engine.init_batch(3)
+    out = engine.move(variables, states, jax.random.PRNGKey(11))
+    actions = np.asarray(out.action)
+    assert ((actions >= 0) & (actions < 9)).all()
+    pt = np.asarray(out.policy_target)
+    np.testing.assert_allclose(pt.sum(-1), 1.0, rtol=1e-5)
+    assert (pt >= 0).all()
+
+
+def test_think_batch_finds_immediate_win():
+    """Tactical correctness must survive virtual-loss batching."""
+    env, cfg, net, variables, _ = make_engine(
+        sims=100, actor_select_action_by_count=True,
+        actor_select_action_by_softmax_count=False, actor_use_dirichlet_noise=False,
+    )
+    cfg = cfg.replace(actor_mcts_think_batch_size=8)
+    engine = SelfPlayEngine(env, cfg, net, use_think_batch=True, eval_mode=True)
+    s = env.init()
+    for a in [0, 3, 1, 4]:
+        s = env.step(s, jnp.int32(a))
+    states = jax.tree_util.tree_map(lambda x: jnp.stack([x] * 2), s)
+    out = engine.move(variables, states, jax.random.PRNGKey(13))
+    assert (np.asarray(out.action) == 2).all()
+    assert (np.asarray(out.eval_score) == 1.0).all()
+
+
+def test_think_batch_gumbel():
+    """Gumbel sequential halving under think-batch rounds."""
+    env, cfg, net, variables, _ = make_engine(
+        sims=16, actor_use_gumbel=True, actor_use_gumbel_noise=True,
+        actor_use_dirichlet_noise=False, actor_select_action_by_count=True,
+        actor_select_action_by_softmax_count=False, actor_gumbel_sample_size=4,
+    )
+    cfg = cfg.replace(actor_mcts_think_batch_size=4)
+    engine = SelfPlayEngine(env, cfg, net, use_think_batch=True)
+    states = engine.init_batch(2)
+    out = engine.move(variables, states, jax.random.PRNGKey(17))
+    actions = np.asarray(out.action)
+    assert ((actions >= 0) & (actions < 9)).all()
+    pt = np.asarray(out.policy_target)
+    np.testing.assert_allclose(pt.sum(-1), 1.0, rtol=1e-4)
+
+
 def test_muzero_move_invariants():
     cfg = default_config(
         "tictactoe", nn_type_name="muzero", nn_num_blocks=1, nn_num_hidden_channels=8,

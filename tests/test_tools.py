@@ -183,3 +183,18 @@ def test_profile_tool():
     assert {"selfplay_compile", "selfplay_steady", "train_compile", "train_steady"} <= phases
     steady = next(r for r in rows if r["phase"] == "selfplay_steady")
     assert steady["env_steps_per_sec"] > 0
+
+
+def test_dependency_graph(tmp_path):
+    from minizero_tpu.tools.dependency_graph import collect_edges, to_dot, to_graphml
+    import minizero_tpu
+
+    pkg_dir = os.path.dirname(minizero_tpu.__file__)
+    modules, edges = collect_edges(pkg_dir)
+    assert "minizero_tpu.search.mcts" in modules
+    # engine depends on mcts
+    assert ("minizero_tpu.selfplay.engine", "minizero_tpu.search.mcts") in edges
+    graphml = to_graphml(modules, edges)
+    assert graphml.count("<node ") == len(modules)
+    dot = to_dot(modules, edges)
+    assert dot.count(" -> ") == len(edges)

@@ -1,0 +1,543 @@
+"""Fused per-simulation MCTS tree step as a single Pallas TPU kernel.
+
+Motivation (measured, CLAUDE.md round-1 notes): the XLA lowering of the
+engine's sim loop executes ~95 small fusions plus ~360 async VMEM copy pairs
+per simulation — per-op overheads dwarf the actual math, which touches only
+a few MB of tree arrays. This kernel performs the whole tree transition of
+one simulation in ONE op with every array resident in VMEM:
+
+    expand(new leaf)  ->  backup(leaf value)  ->  gumbel sequential-halving
+    tick  ->  select next leaf (gumbel root step + PUCT walk)
+
+The semantics mirror ``search/mcts.py`` + ``search/gumbel.py`` exactly
+(which in turn mirror the reference C++, ``actor/mcts.cpp`` /
+``actor/gumbel_zero.cpp``) under the *board-game fast path* preconditions:
+
+    think_batch == 1, value_rescale == False, discount == 1, env rewards == 0
+
+(the bench + all board-game self-play; Atari/MuZero keeps the XLA path).
+
+Walks are expressed in one-hot form — the current node is a ``[G, N]`` mask,
+row reads are mask-weighted reductions, child stats come from a ``[G, N, A]``
+membership compare — so there are no per-lane gathers anywhere; the PUCT
+descent is a ``lax.while_loop`` that exits as soon as every game in the
+*tile* finished (tile-level adaptivity instead of batch-global).
+
+``tree_step_reference`` is the pure-JAX mirror of the same contract built on
+the existing mcts/gumbel functions; tests check the kernel (in interpret
+mode on CPU) against it simulation-by-simulation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from minizero_tpu.search.mcts import SearchSpec, Selection, Tree
+
+NEG_INF = -3.4e38  # python float: jnp scalars cannot be captured by pallas kernels
+
+# number of games processed per kernel program instance
+_TILE = 128
+
+
+class NextSelection(NamedTuple):
+    """Selection for the next simulation plus its root-to-parent path mask."""
+
+    parent: jnp.ndarray  # i32[B]
+    action: jnp.ndarray  # i32[B]
+    leaf: jnp.ndarray  # i32[B] (-1 for new edges)
+    is_new: jnp.ndarray  # bool[B]
+    path: jnp.ndarray  # bool[B, N] nodes on the selected path (incl. leaf if it exists)
+
+
+def supports_fused_tree_step(spec: SearchSpec) -> bool:
+    """Board-game fast-path preconditions (see module docstring)."""
+    return (
+        spec.think_batch == 1
+        and not spec.value_rescale
+        and float(spec.discount) == 1.0
+    )
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _row(oh_f32, arr):
+    """Mask-weighted row read: oh f32[G, N], arr [G, N, A] -> [G, A]."""
+    return jnp.sum(oh_f32[:, :, None] * arr, axis=1)
+
+
+def _rowv(oh_f32, arr):
+    """oh f32[G, N], arr [G, N] -> [G] (kept as [G, 1])."""
+    return jnp.sum(oh_f32 * arr, axis=1, keepdims=True)
+
+
+def _child_stats(ci_row, visits, mean, n_nodes):
+    """Per-action child stats via membership compare (no gathers).
+
+    ci_row i32[G, A]; visits/mean f32[G, N] -> (cvis, cmean) f32[G, A].
+    """
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (1, n_nodes, 1), 1)
+    memb = (ci_row[:, None, :] == iota_n).astype(jnp.float32)  # [G, N, A]
+    cvis = jnp.sum(memb * visits[:, :, None], axis=1)
+    cmean = jnp.sum(memb * mean[:, :, None], axis=1)
+    return cvis, cmean
+
+
+def _argmax_tiebreak(scores, tiebreak):
+    """argmax of scores, ties -> larger tiebreak then lower index
+    (mcts._argmax_with_prior_tiebreak). [G, A] -> i32[G, 1]."""
+    best = jnp.max(scores, axis=1, keepdims=True)
+    tb = jnp.where(scores >= best, tiebreak, NEG_INF)
+    return jnp.argmax(tb, axis=1).astype(jnp.int32)[:, None]
+
+
+def _onehot(idx, n, dtype=jnp.float32):
+    """i32[G, 1] -> [G, n] one-hot."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    return (idx == iota).astype(dtype)
+
+
+def _tree_step_kernel(
+    spec: SearchSpec,
+    # scalar prefetch (SMEM): [node_idx, phase]
+    scalars_ref,
+    # aliased tree state
+    visits_ref, mean_ref, value_ref, expanded_ref, terminal_ref,
+    parent_ref, afp_ref, to_play_ref,
+    ci_ref, prior_ref, logit_ref, legal_ref,
+    gactive_ref, gm_ref, gbudget_ref,
+    # per-sim inputs
+    sparent_ref, saction_ref, sleaf_ref, snew_ref, spath_ref,
+    lpolicy_ref, llogit_ref, llegal_ref, lterm_ref, lvalue_ref, lturn_ref,
+    # outputs (aliased tree first, then next selection)
+    o_visits, o_mean, o_value, o_expanded, o_terminal,
+    o_parent, o_afp, o_to_play,
+    o_ci, o_prior, o_logit, o_legal,
+    o_gactive, o_gm, o_gbudget,
+    o_nparent, o_naction, o_nleaf, o_nnew, o_npath,
+):
+    N, A = spec.max_nodes, spec.action_size
+    s = scalars_ref[0]
+    phase = scalars_ref[1]
+    en = phase > 0
+
+    visits = visits_ref[:, :]
+    mean = mean_ref[:, :]
+    value = value_ref[:, :]
+    expanded = expanded_ref[:, :].astype(jnp.float32)
+    ci = ci_ref[:, :, :]
+    G = visits.shape[0]
+
+    slot_oh = _onehot(jnp.full((G, 1), s, jnp.int32), N)  # [G, N]
+    fresh = jnp.where(en, snew_ref[:, :].astype(jnp.float32), 0.0)  # [G, 1]
+    lterm = lterm_ref[:, :].astype(jnp.float32)  # [G, 1]
+    llegal = llegal_ref[:, :].astype(jnp.float32)  # [G, A]
+
+    # ---- 1. expand at slot s --------------------------------------------
+    w_node = slot_oh * fresh  # [G, N] rows to overwrite
+    keep = 1.0 - w_node
+    expanded = expanded * keep + w_node * (1.0 - lterm)
+    terminal_new = terminal_ref[:, :].astype(jnp.float32) * keep + w_node * lterm
+    parent_new = jnp.where(w_node > 0, sparent_ref[:, :], parent_ref[:, :])
+    afp_new = jnp.where(w_node > 0, saction_ref[:, :], afp_ref[:, :])
+    to_play_new = jnp.where(w_node > 0, lturn_ref[:, :], to_play_ref[:, :])
+
+    live = (1.0 - lterm)  # [G, 1]
+    prior_row = llegal * lpolicy_ref[:, :] * live  # [G, A]
+    logit_row = llegal * llogit_ref[:, :] * live
+    legal_row = llegal * live
+    w3 = w_node[:, :, None]  # [G, N, 1]
+    prior_new = prior_ref[:, :, :] * (1.0 - w3) + w3 * prior_row[:, None, :]
+    logit_new = logit_ref[:, :, :] * (1.0 - w3) + w3 * logit_row[:, None, :]
+    legal_in = legal_ref[:, :, :]  # i32 mask (Mosaic cannot address i1 memory)
+    legal_new = jnp.where(w3 > 0, (legal_row[:, None, :] > 0).astype(jnp.int32),
+                          legal_in)
+
+    iota_n3 = jax.lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)
+    iota_a3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, A), 2)
+    sparent = sparent_ref[:, :]
+    saction = saction_ref[:, :]
+    edge_m = (
+        (sparent[:, :, None] == iota_n3)
+        & (saction[:, :, None] == iota_a3)
+        & (fresh[:, :, None] > 0)
+    )
+    ci = jnp.where(edge_m, s, ci)
+
+    # ---- 2. backup (one-shot: discount == 1, rewards == 0) --------------
+    snew = snew_ref[:, :] > 0  # [G, 1]
+    leaf_node = jnp.where(snew, jnp.full((G, 1), s, jnp.int32), sleaf_ref[:, :])
+    leaf_oh = _onehot(leaf_node, N)
+    v_exist = _rowv(leaf_oh, value)  # [G, 1] stored value at revisited leaf
+    v = jnp.where(snew, lvalue_ref[:, :], v_exist)
+    value = value * (1.0 - w_node) + w_node * lvalue_ref[:, :]
+
+    en_f = jnp.where(en, 1.0, 0.0)
+    path = jnp.maximum(spath_ref[:, :].astype(jnp.float32), leaf_oh) * en_f  # [G, N]
+    visits = visits + path
+    mean = mean + path * (v - mean) / jnp.maximum(visits, 1.0)
+
+    # ---- 3. root child stats --------------------------------------------
+    ci0 = ci[:, 0, :]  # [G, A]
+    hasc = (ci0 >= 0).astype(jnp.float32)
+    rcv, rcm = _child_stats(ci0, visits, mean, N)
+    rcv = rcv * hasc
+    root_tp = to_play_new[:, 0:1].astype(jnp.float32)  # [G, 1]
+    q = rcm
+    if spec.flip_player2_value:
+        q = jnp.where(root_tp == 2.0, -q, q)
+    q_vis = jnp.where((hasc > 0) & (rcv > 0), q, 0.0)  # [G, A]
+    logit0 = logit_new[:, 0, :]
+    legal0 = legal_new[:, 0, :] > 0
+
+    gactive = gactive_ref[:, :] > 0
+    gm = gm_ref[:, :]
+    gbudget = gbudget_ref[:, :]
+
+    if spec.use_gumbel:
+        # ---- 4. sequential halving tick (gumbel_zero.cpp:100-118) -------
+        import math
+
+        m0 = spec.gumbel_sample_size
+        act_f = gactive.astype(jnp.float32)  # noqa: F841 (kept for clarity)
+        reached = jnp.where(gactive, (rcv >= gbudget).astype(jnp.float32), 1.0)
+        all_reached = jnp.min(reached, axis=1, keepdims=True) > 0  # [G, 1]
+        max_count = jnp.max(rcv, axis=1, keepdims=True)
+        sigma = (spec.gumbel_sigma_visit_c + max_count) * spec.gumbel_sigma_scale_c
+        score = logit0 + sigma * q_vis
+        score = jnp.where((legal0) & (rcv > 0), score, NEG_INF)
+        m_f = gm.astype(jnp.float32)
+        next_budget = jnp.floor(
+            spec.num_simulations / (math.log2(m0) * jnp.maximum(m_f / 2.0, 1.0))
+        )
+        do_halve = all_reached & (next_budget > 0) & (gm > 2) & en
+        new_m = gm // 2
+        # top-new_m among active by score (ranks via pairwise compare)
+        masked = jnp.where(gactive, score, NEG_INF)
+        iota_a = jax.lax.broadcasted_iota(jnp.int32, (1, A), 1)
+        beats = (masked[:, None, :] > masked[:, :, None]) | (
+            (masked[:, None, :] == masked[:, :, None])
+            & (iota_a[:, None, :] < iota_a[:, :, None])
+        )
+        ranks = jnp.sum(beats.astype(jnp.float32), axis=2)  # [G, A]
+        new_active = gactive & (ranks < new_m.astype(jnp.float32))
+        best_a = _argmax_tiebreak(jnp.where(new_active, score, NEG_INF),
+                                  jnp.zeros_like(score))
+        best_oh = _onehot(best_a, A)
+        new_budget = jnp.sum(best_oh * rcv, axis=1, keepdims=True) + next_budget
+        gactive = jnp.where(do_halve, new_active, gactive)
+        gm = jnp.where(do_halve, new_m, gm)
+        gbudget = jnp.where(do_halve, new_budget, gbudget)
+
+        # ---- 5a. gumbel root step (gumbel_zero.cpp:74-88) ---------------
+        count_key = jnp.where(gactive, -rcv, NEG_INF)
+        a0 = _argmax_tiebreak(count_key, logit0)  # [G, 1]
+    else:
+        a0 = None
+
+    # ---- 5b. PUCT walk ---------------------------------------------------
+
+    def puct_action(cur_oh):
+        """[G, N] node mask -> (action i32[G,1], ci_row, prior_row)."""
+        ci_row_f = _row(cur_oh, ci.astype(jnp.float32))
+        ci_row = ci_row_f.astype(jnp.int32)
+        cvis, cmean = _child_stats(ci_row, visits, mean, N)
+        has_child = (ci_row >= 0).astype(jnp.float32)
+        cvis = cvis * has_child
+        edge_p = _rowv(cur_oh, to_play_new.astype(jnp.float32))  # [G, 1]
+        qn = cmean
+        if spec.flip_player2_value:
+            qn = jnp.where(edge_p == 2.0, -qn, qn)
+        visited = ((has_child > 0) & (cvis > 0)).astype(jnp.float32)
+        qn = qn * visited
+        sum_q = jnp.sum(qn, axis=1, keepdims=True)
+        num_visited = jnp.sum(visited, axis=1, keepdims=True)
+        if spec.init_q_average:
+            init_q = jnp.where(num_visited > 0,
+                               sum_q / jnp.maximum(num_visited, 1.0), 1.0)
+        else:
+            init_q = (sum_q - 1.0) / (num_visited + 1.0)
+        node_vis = _rowv(cur_oh, visits)
+        total_sim = node_vis - 1.0
+        bias = spec.puct_init + jnp.log(
+            (1.0 + total_sim + spec.puct_base) / spec.puct_base)
+        p_row = _row(cur_oh, prior_new)
+        l_row = _row(cur_oh, legal_new.astype(jnp.float32))
+        u = bias * p_row * jnp.sqrt(jnp.maximum(total_sim, 0.0)) / (1.0 + cvis)
+        sc = u + jnp.where(visited > 0, qn, init_q)
+        sc = jnp.where(l_row > 0, sc, NEG_INF)
+        act = _argmax_tiebreak(sc, p_row)
+        return act, ci_row
+
+    zero_i = jnp.zeros((G, 1), jnp.int32)
+    root_oh = _onehot(zero_i, N)
+
+    if spec.use_gumbel:
+        first_act = a0
+        ci_row0 = ci0
+    else:
+        first_act, ci_row0 = puct_action(root_oh)
+
+    a_oh0 = _onehot(first_act, A)
+    child0 = jnp.sum(a_oh0 * ci_row0.astype(jnp.float32), axis=1,
+                     keepdims=True).astype(jnp.int32)
+    child0 = jnp.where(jnp.sum(a_oh0 * (ci_row0 >= 0).astype(jnp.float32), axis=1,
+                               keepdims=True) > 0, child0, -1)
+    child0_oh = _onehot(jnp.maximum(child0, 0), N)
+    child0_exp = _rowv(child0_oh, expanded) > 0
+    stop0_new = child0 < 0
+    stop0_leaf = (child0 >= 0) & ~child0_exp
+    done0 = stop0_new | stop0_leaf
+
+    parent_id = zero_i
+    action_id = first_act
+    leaf_id = jnp.where(stop0_leaf, child0, -1)
+    isnew = stop0_new
+    path0 = root_oh + jnp.where(stop0_leaf, 1.0, 0.0) * child0_oh
+    cur_oh = jnp.where(done0, root_oh, child0_oh)  # placeholder when done
+    cur_id = jnp.where(done0, zero_i, child0)
+
+    def cond(carry):
+        done = carry[0]
+        return jnp.min(done.astype(jnp.float32)) < 1.0
+
+    def body(carry):
+        done, cur_id, cur_oh, parent_id, action_id, leaf_id, isnew, path = carry
+        act, ci_row = puct_action(cur_oh)
+        a_oh = _onehot(act, A)
+        child = jnp.sum(a_oh * ci_row.astype(jnp.float32), axis=1,
+                        keepdims=True).astype(jnp.int32)
+        child = jnp.where(jnp.sum(a_oh * (ci_row >= 0).astype(jnp.float32), axis=1,
+                                  keepdims=True) > 0, child, -1)
+        child_oh = _onehot(jnp.maximum(child, 0), N)
+        child_exp = _rowv(child_oh, expanded) > 0
+        st_new = child < 0
+        st_leaf = (child >= 0) & ~child_exp
+        st = st_new | st_leaf
+        upd = ~done  # lanes still walking
+        path = path + jnp.where(upd, 1.0, 0.0) * cur_oh * (1.0 - path)
+        path = path + jnp.where(upd & st_leaf, 1.0, 0.0) * child_oh * (1.0 - path)
+        parent_id = jnp.where(upd & st, cur_id, parent_id)
+        action_id = jnp.where(upd & st, act, action_id)
+        leaf_id = jnp.where(upd & st, jnp.where(st_leaf, child, -1), leaf_id)
+        isnew = jnp.where(upd & st, st_new, isnew)
+        descend = upd & ~st
+        cur_id = jnp.where(descend, child, cur_id)
+        cur_oh = jnp.where(descend, child_oh, cur_oh)
+        done = done | st
+        return (done, cur_id, cur_oh, parent_id, action_id, leaf_id, isnew, path)
+
+    carry = (done0, cur_id, cur_oh, parent_id, action_id, leaf_id, isnew, path0)
+    (done, cur_id, cur_oh, parent_id, action_id, leaf_id, isnew, path) = (
+        jax.lax.while_loop(cond, body, carry)
+    )
+
+    # ---- write outputs ---------------------------------------------------
+    o_visits[:, :] = visits
+    o_mean[:, :] = mean
+    o_value[:, :] = value
+    o_expanded[:, :] = (expanded > 0).astype(jnp.int32)
+    o_terminal[:, :] = (terminal_new > 0).astype(jnp.int32)
+    o_parent[:, :] = parent_new
+    o_afp[:, :] = afp_new
+    o_to_play[:, :] = to_play_new
+    o_ci[:, :, :] = ci
+    o_prior[:, :, :] = prior_new
+    o_logit[:, :, :] = logit_new
+    o_legal[:, :, :] = legal_new.astype(jnp.int32)
+    o_gactive[:, :] = gactive.astype(jnp.int32)
+    o_gm[:, :] = gm
+    o_gbudget[:, :] = gbudget
+    o_nparent[:, :] = parent_id
+    o_naction[:, :] = action_id
+    o_nleaf[:, :] = leaf_id
+    o_nnew[:, :] = isnew.astype(jnp.int32)
+    o_npath[:, :] = (path > 0).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# host-side wrapper
+# ---------------------------------------------------------------------------
+
+def fused_tree_step(
+    spec: SearchSpec,
+    trees: Tree,
+    sel: NextSelection,
+    leaf_policy, leaf_logit, leaf_legal, leaf_terminal, leaf_value, leaf_turn,
+    node_idx, phase,
+    interpret: bool = False,
+):
+    """Run the fused tree transition for one simulation on a batch of trees.
+
+    ``phase == 0``: selection only (used once after root init; expand/backup/
+    halving are skipped). Returns ``(trees, NextSelection)``.
+    """
+    assert supports_fused_tree_step(spec), "board-game fast path only"
+    B = trees.visits.shape[0]
+    N, A = spec.max_nodes, spec.action_size
+    tile = _TILE if (B % _TILE == 0) else B
+
+    def col(x, dtype=None):
+        x = x.reshape(B, 1)
+        return x.astype(dtype) if dtype is not None else x
+
+    scalars = jnp.stack([jnp.asarray(node_idx, jnp.int32),
+                         jnp.asarray(phase, jnp.int32)])
+
+    # all masks travel as int32 — Mosaic cannot load/store 1-bit memory
+    i32 = jnp.int32
+    tree_in = [
+        trees.visits, trees.mean, trees.value,
+        trees.expanded.astype(i32), trees.terminal.astype(i32),
+        trees.parent, trees.action_from_parent, trees.to_play,
+        trees.children_index, trees.prior, trees.logit,
+        trees.legal.astype(i32),
+        trees.gumbel_active.astype(i32),
+        col(trees.gumbel_sample_size, i32),
+        col(trees.gumbel_budget, jnp.float32),
+    ]
+    sel_in = [
+        col(sel.parent, i32), col(sel.action, i32),
+        col(sel.leaf, i32), col(sel.is_new, i32), sel.path.astype(i32),
+        leaf_policy, leaf_logit, leaf_legal.astype(i32),
+        col(leaf_terminal, i32), col(leaf_value, jnp.float32),
+        col(leaf_turn, i32),
+    ]
+
+    out_shapes = [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in tree_in] + [
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),   # next parent
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),   # next action
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),   # next leaf
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),   # next is_new
+        jax.ShapeDtypeStruct((B, N), jnp.int32),   # next path
+    ]
+
+    def bspec_for(shape):
+        bshape = (tile,) + tuple(shape[1:])
+        rank = len(shape)
+
+        def index_map(i, *_scalar_refs):  # scalar-prefetch refs ride along
+            return (i,) + (0,) * (rank - 1)
+
+        return pl.BlockSpec(bshape, index_map, memory_space=pltpu.VMEM)
+
+    in_specs = [bspec_for(x.shape) for x in tree_in + sel_in]
+    out_specs = [bspec_for(s.shape) for s in out_shapes]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // tile,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+
+    aliases = {i + 1: i for i in range(len(tree_in))}  # +1 for scalar prefetch
+
+    outs = pl.pallas_call(
+        functools.partial(_tree_step_kernel, spec),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(scalars, *tree_in, *sel_in)
+
+    t = outs
+
+    def back(x, like):
+        return x.astype(like.dtype) if x.dtype != like.dtype else x
+
+    new_trees = trees.replace(
+        visits=t[0], mean=t[1], value=t[2],
+        expanded=back(t[3], trees.expanded), terminal=back(t[4], trees.terminal),
+        parent=t[5], action_from_parent=t[6], to_play=t[7],
+        children_index=t[8], prior=t[9], logit=t[10],
+        legal=back(t[11], trees.legal),
+        gumbel_active=back(t[12], trees.gumbel_active),
+        gumbel_sample_size=t[13].reshape(B) if trees.gumbel_sample_size.ndim == 1 else t[13],
+        gumbel_budget=t[14].reshape(B) if trees.gumbel_budget.ndim == 1 else t[14],
+    )
+    nsel = NextSelection(
+        parent=t[15].reshape(B), action=t[16].reshape(B), leaf=t[17].reshape(B),
+        is_new=t[18].reshape(B) > 0, path=t[19] > 0,
+    )
+    return new_trees, nsel
+
+
+# ---------------------------------------------------------------------------
+# pure-JAX reference of the same contract (tests + documentation)
+# ---------------------------------------------------------------------------
+
+def _path_mask(spec: SearchSpec, tree: Tree, sel: Selection) -> jnp.ndarray:
+    """bool[N] nodes on the selection's path (root..parent, + leaf if any)."""
+    n = spec.max_nodes
+    iota = jnp.arange(n)
+    mask = jnp.zeros((n,), bool)
+    mask = jnp.where(sel.leaf >= 0, mask | (iota == sel.leaf), mask)
+
+    def cond(c):
+        node, _ = c
+        return node >= 0
+
+    def body(c):
+        node, mask = c
+        mask = mask | (iota == node)
+        return tree.parent[jnp.maximum(node, 0)], mask
+
+    _, mask = jax.lax.while_loop(cond, body, (sel.parent, mask))
+    return mask
+
+
+def tree_step_reference(
+    spec: SearchSpec,
+    trees: Tree,
+    sel: NextSelection,
+    leaf_policy, leaf_logit, leaf_legal, leaf_terminal, leaf_value, leaf_turn,
+    node_idx, phase,
+):
+    """Same contract as ``fused_tree_step`` built on mcts/gumbel functions."""
+    from minizero_tpu.search import gumbel as gz
+    from minizero_tpu.search import mcts
+
+    B = trees.visits.shape[0]
+    en = jnp.asarray(phase, jnp.int32) > 0
+    node_b = jnp.full((B,), jnp.asarray(node_idx, jnp.int32))
+
+    def per_game(tree, parent, action, leaf, is_new, pol, lg, lgl, term, val, turn, nidx):
+        tree = mcts.expand_node(
+            spec, tree, nidx, parent, action, turn, pol, lg, lgl, term,
+            enabled=is_new & en, store_embedding=False)
+        start = jnp.where(is_new, nidx, jnp.maximum(leaf, 0))
+        v = jnp.where(is_new, val, tree.value[start])
+        r = jnp.where(is_new, jnp.float32(0.0), tree.reward[start])
+        tree = mcts.backup(spec, tree, start, v, r, store_leaf=is_new, enabled=en)
+        if spec.use_gumbel:
+            tick = gz.sequential_halving_tick(spec, tree)
+            tree = tree.replace(
+                gumbel_active=jnp.where(en, tick.gumbel_active, tree.gumbel_active),
+                gumbel_sample_size=jnp.where(en, tick.gumbel_sample_size,
+                                             tree.gumbel_sample_size),
+                gumbel_budget=jnp.where(en, tick.gumbel_budget, tree.gumbel_budget),
+            )
+        return tree
+
+    trees = jax.vmap(per_game)(
+        trees, sel.parent, sel.action, sel.leaf, sel.is_new,
+        leaf_policy, leaf_logit, leaf_legal, leaf_terminal, leaf_value,
+        leaf_turn, node_b)
+
+    if spec.use_gumbel:
+        nsel = jax.vmap(functools.partial(gz.gumbel_select_leaf, spec))(trees)
+    else:
+        nsel = jax.vmap(lambda t: mcts.select_leaf(spec, t, jnp.int32(0)))(trees)
+    paths = jax.vmap(functools.partial(_path_mask, spec))(trees, nsel)
+    return trees, NextSelection(
+        parent=nsel.parent, action=nsel.action, leaf=nsel.leaf,
+        is_new=nsel.is_new, path=paths)

@@ -26,6 +26,11 @@ import numpy as np
 from minizero_tpu.config import Config
 from minizero_tpu.envs.base import Env
 from minizero_tpu.models.alphazero import AlphaZeroNetwork
+from minizero_tpu.ops.tree_kernel import (
+    NextSelection,
+    fused_tree_step,
+    supports_fused_tree_step,
+)
 from minizero_tpu.search import gumbel as gz
 from minizero_tpu.search import mcts
 from minizero_tpu.search.mcts import SearchSpec, Tree
@@ -100,6 +105,17 @@ class SelfPlayEngine:
         # bfloat16 inference: self-play forwards run the convs on the MXU in
         # bf16 (weights + activations); tree statistics stay float32
         self.compute_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+        # fused Pallas tree kernel (ops/tree_kernel.py): one op per
+        # simulation for expand+backup+halving+select instead of ~95 XLA
+        # fusions. Board-game fast path only; falls back to the XLA sim
+        # loop otherwise. Interpreted off-TPU so CPU tests exercise it.
+        self.use_tree_kernel = (
+            not self.is_muzero
+            and not self._ablate
+            and supports_fused_tree_step(self.spec)
+            and type(env).reward is Env.reward  # zero in-tree rewards
+        )
+        self._kernel_interpret = jax.default_backend() != "tpu"
         self._move = jax.jit(self._move_impl)
         self._reset_slots = jax.jit(self._reset_slots_impl)
         self._init_batch = jax.jit(self._init_batch_impl, static_argnums=0)
@@ -245,6 +261,11 @@ class SelfPlayEngine:
         if spec.use_gumbel:
             trees = jax.vmap(functools.partial(gz.init_candidates, spec))(trees)
 
+        if self.use_tree_kernel:
+            trees = self._kernel_sim_loop(variables, trees, rng)
+            rng, k_sel = jax.random.split(rng)
+            return self._decide(trees, k_sel, temperature)
+
         ablate = self._ablate
 
         def sim_body(s, carry):
@@ -286,18 +307,14 @@ class SelfPlayEngine:
                     variables, leaf_feats, jax.random.split(k_rot, batch)
                 )
             # terminal leaves back up the true outcome instead of the net
-            # value (reference zero_actor.cpp:79-86); scoring (the most
-            # expensive env query) runs only when some lane actually
-            # reached a terminal state
+            # value (reference zero_actor.cpp:79-86). Unconditional masked
+            # compute: a lax.cond here costs ~1.75ms/sim on TPU (the
+            # conditional forces buffer copies at the region boundary) vs
+            # ~0.64ms for always scoring — see CLAUDE.md ablation notes
             if "score" in ablate:
                 scores = jnp.zeros((batch,), jnp.float32)
             else:
-                scores = jax.lax.cond(
-                    jnp.any(leaf_terminal),
-                    lambda s: jax.vmap(env.eval_score)(s),
-                    lambda s: jnp.zeros((batch,), jnp.float32),
-                    leaf_states,
-                )
+                scores = jnp.where(leaf_terminal, jax.vmap(env.eval_score)(leaf_states), 0.0)
             value = jnp.where(leaf_terminal, scores, net_value)
             reward = jax.vmap(env.reward)(leaf_states)
             leaf_embedding = leaf_states
@@ -371,12 +388,7 @@ class SelfPlayEngine:
             leaf_policy, leaf_logits, net_value = self._forward_features(
                 variables, leaf_feats, jax.random.split(k_rot, K * batch)
             )
-            scores = jax.lax.cond(
-                jnp.any(leaf_terminal),
-                lambda s: jax.vmap(env.eval_score)(s),
-                lambda s: jnp.zeros((K * batch,), jnp.float32),
-                leaf_states,
-            )
+            scores = jnp.where(leaf_terminal, jax.vmap(env.eval_score)(leaf_states), 0.0)
             value = jnp.where(leaf_terminal, scores, net_value)
             reward = jax.vmap(env.reward)(leaf_states)
             leaf_legal = jax.vmap(env.legal_mask)(leaf_states)
@@ -440,6 +452,79 @@ class SelfPlayEngine:
         # ---- action decision (reference ZeroActor::decideActionNode,
         # zero_actor.cpp:178-192)
         rng, k_sel = jax.random.split(rng)
+        return self._decide(trees, k_sel, temperature)
+
+    def _kernel_sim_loop(self, variables, trees, rng):
+        """Sim loop driven by the fused Pallas tree kernel: per simulation,
+        ONE tree op (expand+backup+halving+next-select) plus the env/network
+        evaluation of the selected leaf."""
+        env, spec = self.env, self.spec
+        batch = trees.visits.shape[0]
+
+        # masks ride as int32 through the whole loop (Mosaic cannot address
+        # 1-bit memory; converting once per move beats converting per sim)
+        i32 = jnp.int32
+        bool_masks = trees.expanded.dtype == jnp.bool_
+        trees = trees.replace(
+            expanded=trees.expanded.astype(i32),
+            terminal=trees.terminal.astype(i32),
+            legal=trees.legal.astype(i32),
+            gumbel_active=trees.gumbel_active.astype(i32),
+        )
+
+        # phase 0: selection only (tree already has the expanded root)
+        zeros_f = jnp.zeros((batch, spec.action_size), jnp.float32)
+        zeros_b = jnp.zeros((batch, spec.action_size), bool)
+        dummy = (zeros_f, zeros_f, zeros_b, jnp.zeros((batch,), bool),
+                 jnp.zeros((batch,), jnp.float32), jnp.ones((batch,), jnp.int32))
+        sel0 = NextSelection(
+            parent=jnp.zeros((batch,), jnp.int32),
+            action=jnp.zeros((batch,), jnp.int32),
+            leaf=jnp.full((batch,), -1, jnp.int32),
+            is_new=jnp.zeros((batch,), bool),
+            path=jnp.zeros((batch, spec.max_nodes), bool),
+        )
+        trees, sel = fused_tree_step(
+            spec, trees, sel0, *dummy, 0, 0, interpret=self._kernel_interpret)
+
+        def sim_body(s, carry):
+            trees, sel, rng = carry
+            rng, k_rot = jax.random.split(rng)
+            parent_embedding = jax.tree_util.tree_map(
+                lambda x: jax.vmap(lambda e, p: e[jnp.maximum(p, 0)])(x, sel.parent),
+                trees.embedding,
+            )
+            leaf_states = jax.vmap(env.step)(parent_embedding, sel.action)
+            leaf_terminal = jax.vmap(env.is_terminal)(leaf_states)
+            leaf_feats = jax.vmap(env.features)(leaf_states)
+            leaf_policy, leaf_logits, net_value = self._forward_features(
+                variables, leaf_feats, jax.random.split(k_rot, batch)
+            )
+            scores = jnp.where(
+                leaf_terminal, jax.vmap(env.eval_score)(leaf_states), 0.0)
+            value = jnp.where(leaf_terminal, scores, net_value)
+            leaf_legal = jax.vmap(env.legal_mask)(leaf_states)
+            leaf_turn = jax.vmap(env.turn)(leaf_states).astype(jnp.int32)
+
+            trees, nsel = fused_tree_step(
+                spec, trees, sel, leaf_policy, leaf_logits, leaf_legal,
+                leaf_terminal, value, leaf_turn, s, 1,
+                interpret=self._kernel_interpret)
+            trees = mcts.store_embedding_batch(trees, s, leaf_states, sel.is_new)
+            return trees, nsel, rng
+
+        trees, _, rng = jax.lax.fori_loop(
+            1, spec.num_simulations + 1, sim_body, (trees, sel, rng))
+        if bool_masks:
+            trees = trees.replace(
+                expanded=trees.expanded > 0, terminal=trees.terminal > 0,
+                legal=trees.legal > 0, gumbel_active=trees.gumbel_active > 0,
+            )
+        return trees
+
+    def _decide(self, trees, k_sel, temperature):
+        spec = self.spec
+        batch = trees.visits.shape[0]
         sel_keys = jax.random.split(k_sel, batch)
         if spec.use_gumbel:
             if spec.select_by_count:

@@ -33,11 +33,14 @@ from minizero_tpu.selfplay.engine import search_spec_from_config
 B, SIMS = 1024, 16
 
 
-def bench(name, fn, *args, reps=20):
+def bench(name, fn, *args, reps=40):
+    # pipelined timing: issue all reps without blocking (device executes
+    # back-to-back), block once at the end — per-call tunnel RTT (which
+    # fluctuates 0.1-30ms between runs) amortizes away
     out = jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = jax.block_until_ready(fn(*args))
+    outs = [fn(*args) for _ in range(reps)]
+    jax.block_until_ready(outs[-1])
     ms = (time.perf_counter() - t0) / reps * 1e3
     print(json.dumps({"probe": name, "ms": round(ms, 3)}), flush=True)
 

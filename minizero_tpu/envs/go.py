@@ -322,30 +322,38 @@ class GoEnv(Env):
     def is_terminal(self, state: GoState) -> jnp.ndarray:
         return (state.consecutive_pass >= 2) | (state.num_moves > 2 * self.nn)
 
+    def _flood_empty(self, src: jnp.ndarray, empty: jnp.ndarray) -> jnp.ndarray:
+        """Empty cells connected (through empty cells) to ``src`` cells —
+        monotone propagation by grid shifts (no gathers; cf. _adj_or).
+        Exact: the while_loop runs until a fixed point, i.e. the diameter
+        of the largest empty region (vmap batches the convergence test)."""
+        reach0 = empty & self._adj_or(src)
+
+        def cond(c):
+            return c[1]
+
+        def body(c):
+            r, _ = c
+            nr = r | (empty & self._adj_or(r))
+            return nr, jnp.any(nr != r)
+
+        reach, _ = jax.lax.while_loop(cond, body, (reach0, jnp.any(reach0)))
+        return reach
+
     def eval_score(self, state: GoState) -> jnp.ndarray:
-        """Tromp-Taylor result (reference go.cpp:259-277, 703-723): empty
-        regions by CC labels, per-region boundary colours via one-hot
-        matmul."""
-        nn = self.nn
+        """Tromp-Taylor result (reference go.cpp:259-277, 703-723): an empty
+        region counts for a colour iff it reaches only that colour.
+        Flood-fill reachability via shifts — the previous CC-label + one-hot
+        formulation cost ~9ms per b=1024 call on TPU (per-lane gathers);
+        this is pure VPU elementwise work."""
         board = state.board
         empty = board == 0
-        connected = empty[self._nbr] & self._nbr_valid & empty[:, None]
-        labels = self._cc_labels(empty, connected)
-
-        touch_b0 = empty & self._adj_or(board == 1)
-        touch_w0 = empty & self._adj_or(board == 2)
-        onehot = (
-            (labels[None, :] == jnp.arange(nn, dtype=jnp.int32)[:, None]) & empty[None, :]
-        )  # [R(labels), P] bool
-        region_b = jnp.any(onehot & touch_b0[None, :], axis=1)  # [R]
-        region_w = jnp.any(onehot & touch_w0[None, :], axis=1)
-        region_b = jnp.concatenate([region_b, jnp.zeros((1,), bool)])
-        region_w = jnp.concatenate([region_w, jnp.zeros((1,), bool)])
-        lab_clip = jnp.clip(labels, 0, nn)
+        reach_b = self._flood_empty(board == 1, empty)
+        reach_w = self._flood_empty(board == 2, empty)
         # region with no white boundary -> black (reference check order
         # go.cpp:713-717, including the empty-board quirk)
-        black_area = empty & ~region_w[lab_clip]
-        white_area = empty & region_w[lab_clip] & ~region_b[lab_clip]
+        black_area = empty & ~reach_w
+        white_area = empty & reach_w & ~reach_b
         black = jnp.sum((board == 1).astype(jnp.float32)) + jnp.sum(black_area.astype(jnp.float32))
         white = jnp.sum((board == 2).astype(jnp.float32)) + jnp.sum(white_area.astype(jnp.float32)) + self.komi
         return jnp.where(black > white, 1.0, jnp.where(black < white, -1.0, 0.0)).astype(jnp.float32)

@@ -93,10 +93,17 @@ def _child_stats(ci_row, visits, mean, n_nodes):
 
 def _argmax_tiebreak(scores, tiebreak):
     """argmax of scores, ties -> larger tiebreak then lower index
-    (mcts._argmax_with_prior_tiebreak). [G, A] -> i32[G, 1]."""
+    (mcts._argmax_with_prior_tiebreak). [G, A] -> i32[G, 1].
+
+    Expressed as max-reduce + iota min-reduce: Mosaic's argmax lowering
+    leaves an unrealized f32->i32 cast, so avoid jnp.argmax entirely."""
+    a = scores.shape[1]
     best = jnp.max(scores, axis=1, keepdims=True)
     tb = jnp.where(scores >= best, tiebreak, NEG_INF)
-    return jnp.argmax(tb, axis=1).astype(jnp.int32)[:, None]
+    best_tb = jnp.max(tb, axis=1, keepdims=True)
+    iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    cand = jnp.where(tb >= best_tb, iota, a)
+    return jnp.min(cand, axis=1).astype(jnp.int32)[:, None]
 
 
 def _onehot(idx, n, dtype=jnp.float32):
@@ -233,7 +240,10 @@ def _tree_step_kernel(
                                   jnp.zeros_like(score))
         best_oh = _onehot(best_a, A)
         new_budget = jnp.sum(best_oh * rcv, axis=1, keepdims=True) + next_budget
-        gactive = jnp.where(do_halve, new_active, gactive)
+        # select on i32, not bool: Mosaic cannot lower select_n -> i1 vectors
+        gactive_i = jnp.where(do_halve, new_active.astype(jnp.int32),
+                              gactive.astype(jnp.int32))
+        gactive = gactive_i > 0
         gm = jnp.where(do_halve, new_m, gm)
         gbudget = jnp.where(do_halve, new_budget, gbudget)
 
@@ -300,7 +310,8 @@ def _tree_step_kernel(
     parent_id = zero_i
     action_id = first_act
     leaf_id = jnp.where(stop0_leaf, child0, -1)
-    isnew = stop0_new
+    # bool-valued carries travel as i32: Mosaic cannot select_n into i1
+    isnew = stop0_new.astype(jnp.int32)
     path0 = root_oh + jnp.where(stop0_leaf, 1.0, 0.0) * child0_oh
     cur_oh = jnp.where(done0, root_oh, child0_oh)  # placeholder when done
     cur_id = jnp.where(done0, zero_i, child0)
@@ -322,20 +333,21 @@ def _tree_step_kernel(
         st_new = child < 0
         st_leaf = (child >= 0) & ~child_exp
         st = st_new | st_leaf
-        upd = ~done  # lanes still walking
+        upd = done < 1  # lanes still walking
         path = path + jnp.where(upd, 1.0, 0.0) * cur_oh * (1.0 - path)
         path = path + jnp.where(upd & st_leaf, 1.0, 0.0) * child_oh * (1.0 - path)
         parent_id = jnp.where(upd & st, cur_id, parent_id)
         action_id = jnp.where(upd & st, act, action_id)
         leaf_id = jnp.where(upd & st, jnp.where(st_leaf, child, -1), leaf_id)
-        isnew = jnp.where(upd & st, st_new, isnew)
+        isnew = jnp.where(upd & st, st_new.astype(jnp.int32), isnew)
         descend = upd & ~st
         cur_id = jnp.where(descend, child, cur_id)
         cur_oh = jnp.where(descend, child_oh, cur_oh)
-        done = done | st
+        done = jnp.maximum(done, st.astype(jnp.int32))
         return (done, cur_id, cur_oh, parent_id, action_id, leaf_id, isnew, path)
 
-    carry = (done0, cur_id, cur_oh, parent_id, action_id, leaf_id, isnew, path0)
+    carry = (done0.astype(jnp.int32), cur_id, cur_oh, parent_id, action_id,
+             leaf_id, isnew, path0)
     (done, cur_id, cur_oh, parent_id, action_id, leaf_id, isnew, path) = (
         jax.lax.while_loop(cond, body, carry)
     )
@@ -447,6 +459,9 @@ def fused_tree_step(
         out_shape=out_shapes,
         input_output_aliases=aliases,
         interpret=interpret,
+        # the [G,A,A] pairwise-rank compare in the halving tick pushes the
+        # working set past Mosaic's 16MB default scoped-vmem limit
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(scalars, *tree_in, *sel_in)
 
     t = outs

@@ -46,19 +46,21 @@ def main(batch_size: int = 1024, measure_moves: int = 12) -> None:
     states = engine.init_batch(batch_size)
     rng = jax.random.PRNGKey(0)
 
-    # warmup / compile
+    # warmup / compile (move_scan = the collection loop's real dispatch unit:
+    # M moves + in-scan resets per device call)
     rng, k = jax.random.split(rng)
-    out = engine.move(variables, states, k)
-    jax.block_until_ready(out.action)
-    states = out.states
+    _, states, enable, msr = engine.move_scan(variables, states, k, 1.0, measure_moves)
+    jax.block_until_ready(jax.tree_util.tree_leaves(states)[0])
 
+    chunks = 3
     t0 = time.perf_counter()
-    for _ in range(measure_moves):
+    for _ in range(chunks):
         rng, k = jax.random.split(rng)
-        out = engine.move(variables, states, k)
-        states = engine.reset_slots(out.states, out.done)
+        _, states, enable, msr = engine.move_scan(
+            variables, states, k, 1.0, measure_moves, enable, msr)
     jax.block_until_ready(jax.tree_util.tree_leaves(states)[0])
     dt = time.perf_counter() - t0
+    measure_moves *= chunks
 
     env_steps_per_s = batch_size * measure_moves / dt
     sims_per_s = env_steps_per_s * (cfg.actor_num_simulation + 1)

@@ -81,6 +81,16 @@ class ShardedSelfPlay:
             out, jax.tree_util.tree_map(lambda _: self._batch_sharding, out)
         )
 
+    def move_scan(self, variables, states, rng, temperature: float = 1.0,
+                  num_moves: int = 8, enable_resign=None, moves_since_reset=None):
+        stacked, states, enable, msr = self.engine.move_scan(
+            variables, states, rng, temperature, num_moves,
+            enable_resign, moves_since_reset)
+        states = jax.device_put(
+            states, jax.tree_util.tree_map(lambda _: self._batch_sharding, states)
+        )
+        return stacked, states, enable, msr
+
 
 def global_batch_from_local(mesh: Mesh, local_batch: dict) -> dict:
     """Assemble a globally-sharded training batch from per-process host data

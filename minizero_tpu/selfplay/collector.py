@@ -93,6 +93,44 @@ class TrajectoryCollector:
                 reset_mask[i] = True
         return finished, reset_mask
 
+    def enable_resign_flags(self) -> np.ndarray:
+        """Initial per-slot resign enablement (seed for move_scan's device-
+        side bookkeeping)."""
+        return np.array([s["enable_resign"] for s in self._slots], bool)
+
+    def add_scan(self, sm) -> List[FinishedGame]:
+        """Consume a stacked ``ScanMoves`` chunk ([M, B, ...]). The finish
+        decisions (``resigned``: finalize WITHOUT recording the move;
+        ``ended``: record then finalize) were made on device by ``move_scan``
+        — the collector replays them instead of re-deriving resign gating."""
+        action = np.asarray(sm.action)
+        turn = np.asarray(sm.turn)
+        policy = np.asarray(sm.policy_target)
+        value = np.asarray(sm.root_value)
+        reward = np.asarray(sm.reward)
+        features = np.asarray(sm.features)
+        eval_score = np.asarray(sm.eval_score)
+        resign_score = np.asarray(sm.resign_score)
+        resigned = np.asarray(sm.resigned)
+        ended = np.asarray(sm.ended)
+
+        finished: List[FinishedGame] = []
+        for m in range(action.shape[0]):
+            for i in range(self.batch):
+                if resigned[m, i]:
+                    finished.append(self._finalize(i, float(resign_score[m, i])))
+                    continue
+                slot = self._slots[i]
+                slot["actions"].append(int(action[m, i]))
+                slot["turns"].append(int(turn[m, i]))
+                slot["policy"].append(policy[m, i].astype(np.float16))
+                slot["values"].append(float(value[m, i]))
+                slot["rewards"].append(float(reward[m, i]))
+                slot["features"].append(features[m, i])
+                if ended[m, i]:
+                    finished.append(self._finalize(i, float(eval_score[m, i])))
+        return finished
+
     def _finalize(self, slot_idx: int, result: float) -> FinishedGame:
         slot = self._slots[slot_idx]
         record = GameRecord(

@@ -79,6 +79,28 @@ class MoveOutput(NamedTuple):
     resign_score: jnp.ndarray  # f32[B] — eval score if current player resigns
 
 
+class ScanMoves(NamedTuple):
+    """Stacked per-move outputs of ``move_scan`` ([M, B, ...] device arrays).
+
+    ``resigned``/``ended`` record the device-side finish decisions so the
+    host collector can replay them exactly: a ``resigned`` move is NOT
+    recorded (reference actor_group.cpp:121-122); an ``ended`` move is
+    recorded and then the game finalises with ``eval_score``."""
+
+    action: jnp.ndarray  # i32[M, B]
+    turn: jnp.ndarray  # i32[M, B]
+    policy_target: jnp.ndarray  # f32[M, B, A]
+    root_value: jnp.ndarray  # f32[M, B]
+    reward: jnp.ndarray  # f32[M, B]
+    resign: jnp.ndarray  # bool[M, B] — raw search proposal
+    features: jnp.ndarray  # u8[M, B, H, W, C]
+    done: jnp.ndarray  # bool[M, B]
+    eval_score: jnp.ndarray  # f32[M, B]
+    resign_score: jnp.ndarray  # f32[M, B]
+    resigned: jnp.ndarray  # bool[M, B] — finished by resignation this move
+    ended: jnp.ndarray  # bool[M, B] — finished by termination this move
+
+
 class SelfPlayEngine:
     """Batched self-play over one device (multi-host sharding layered on top,
     SURVEY.md §7 stage 8)."""
@@ -117,6 +139,7 @@ class SelfPlayEngine:
         )
         self._kernel_interpret = jax.default_backend() != "tpu"
         self._move = jax.jit(self._move_impl)
+        self._move_scan = jax.jit(self._move_scan_impl, static_argnums=6)
         self._reset_slots = jax.jit(self._reset_slots_impl)
         self._init_batch = jax.jit(self._init_batch_impl, static_argnums=0)
 
@@ -550,3 +573,55 @@ class SelfPlayEngine:
 
     def move(self, variables, states, rng, temperature: float = 1.0) -> MoveOutput:
         return self._move(variables, states, rng, jnp.float32(temperature))
+
+    # ------------------------------------------------------------ multi-move
+    def _move_scan_impl(self, variables, states, rng, temperature,
+                        enable_resign, moves_since_reset, num_moves):
+        """``num_moves`` moves in ONE jitted scan: move -> finish decision ->
+        in-scan slot reset. Collapses per-move host dispatch (each costs a
+        tunnel/runtime round trip) into one call per chunk; the finished-game
+        bookkeeping the host loop used to do (resign gating, max-move cap,
+        reset) runs on device and is reported back via ScanMoves."""
+        disable_ratio = float(self.cfg.zero_disable_resign_ratio)
+        max_moves = int(max(self.env.spec.max_game_length, 1) * 2)
+
+        def body(carry, _):
+            states, rng, enable, msr = carry
+            rng, k_move, k_reset, k_enable = jax.random.split(rng, 4)
+            out = self._move_impl(variables, states, k_move, temperature)
+            # resign requires a prior recorded move (collector contract);
+            # resign takes precedence over done (checked first on the host)
+            resigned = out.resign & enable & (msr > 0)
+            ended = (out.done | (msr + 1 >= max_moves)) & ~resigned
+            reset = resigned | ended
+            new_states = self._reset_slots_impl(out.states, reset, k_reset)
+            fresh_enable = jax.random.uniform(k_enable, reset.shape) >= disable_ratio
+            new_enable = jnp.where(reset, fresh_enable, enable)
+            new_msr = jnp.where(reset, 0, msr + 1)
+            emit = ScanMoves(
+                action=out.action, turn=out.turn, policy_target=out.policy_target,
+                root_value=out.root_value, reward=out.reward, resign=out.resign,
+                features=out.features, done=out.done, eval_score=out.eval_score,
+                resign_score=out.resign_score, resigned=resigned, ended=ended,
+            )
+            return (new_states, rng, new_enable, new_msr), emit
+
+        carry = (states, rng, enable_resign, moves_since_reset)
+        (states, rng, enable, msr), stacked = jax.lax.scan(
+            body, carry, None, length=num_moves)
+        return stacked, states, enable, msr
+
+    def move_scan(self, variables, states, rng, temperature: float = 1.0,
+                  num_moves: int = 8, enable_resign=None, moves_since_reset=None):
+        """Advance every game ``num_moves`` moves (with in-scan resets) in a
+        single dispatch. Returns ``(ScanMoves, states, enable_resign,
+        moves_since_reset)``; thread the last two back in across chunks."""
+        batch = jax.tree_util.tree_leaves(states)[0].shape[0]
+        if enable_resign is None:
+            enable_resign = jnp.ones((batch,), bool)
+        if moves_since_reset is None:
+            moves_since_reset = jnp.zeros((batch,), jnp.int32)
+        return self._move_scan(
+            variables, states, rng, jnp.float32(temperature),
+            jnp.asarray(enable_resign), jnp.asarray(moves_since_reset, jnp.int32),
+            int(num_moves))

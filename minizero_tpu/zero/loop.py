@@ -155,27 +155,21 @@ class ZeroLoop:
         num_games, lengths, returns = 0, [], []
         record_path = os.path.join(self.run_dir, "sgf", f"{iteration}.sgf")
         t0 = time.time()
-        pending = None  # double buffering: device computes move k+1 while the
-        # host collects move k (JAX async dispatch overlaps them; the
-        # reference overlaps via separate CPU/GPU phases, actor_group.cpp:136-148)
+        # chunked collection: move_scan advances every game M moves (with
+        # in-scan slot resets and device-side resign gating) in ONE dispatch;
+        # the host collects a whole chunk at a time. Replaces the per-move
+        # double-buffered loop — per-move dispatch costs a runtime round trip
+        # each (the reference overlaps CPU/GPU phases per move instead,
+        # actor_group.cpp:136-148).
+        scan_moves = max(1, int(cfg.zero_moves_per_dispatch))
+        enable = jnp.asarray(collector.enable_resign_flags())
+        msr = None
         with open(record_path, "a") as record_file:
             while num_games < cfg.zero_num_games_per_iteration:
                 self.rng, k = jax.random.split(self.rng)
-                out = sp.move(self.variables, states, k, temperature)
-                states = out.states  # optimistic: corrected after collection
-                if pending is None:
-                    pending = out
-                    continue
-                prev, pending = pending, out
-                finished, reset_mask = collector.add_moves(prev)
-                if reset_mask.any():
-                    # a game ended at move k: the optimistic move k+1 already
-                    # stepped finished slots, so re-collect it before reset
-                    finished2, reset_mask2 = collector.add_moves_masked(pending, ~reset_mask)
-                    finished.extend(finished2)
-                    self.rng, k_reset = jax.random.split(self.rng)
-                    states = sp.reset_slots(pending.states, reset_mask | reset_mask2, k_reset)
-                    pending = None
+                stacked, states, enable, msr = sp.move_scan(
+                    self.variables, states, k, temperature, scan_moves, enable, msr)
+                finished = collector.add_scan(stacked)
                 for fg in finished:
                     self.buffer.add_game(fg.record)
                     record_file.write(

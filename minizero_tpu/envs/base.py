@@ -132,6 +132,15 @@ class Env:
         (reference ``zero_actor.cpp:222-223``)."""
         return rot.rotate_action_array(policy, rotation, self.spec.board_size)
 
+    def rotate_features_batch(self, feats: jnp.ndarray, rotations: jnp.ndarray) -> jnp.ndarray:
+        """Batched per-lane feature rotation ([B, H, W, C], i32[B]) — the
+        engine's hot path (static permutation takes, no per-lane gathers)."""
+        return rot.rotate_planes_batch(feats, rotations, self.spec.board_size)
+
+    def rotate_policy_back_batch(self, policy: jnp.ndarray, rotations: jnp.ndarray) -> jnp.ndarray:
+        """Batched per-lane ``rotate_policy_back`` ([B, A], i32[B])."""
+        return rot.rotate_action_array_batch(policy, rotations, self.spec.board_size)
+
     def num_rotations(self) -> int:
         """Number of valid symmetry rotations (1 disables augmentation)."""
         return rot.NUM_ROTATIONS

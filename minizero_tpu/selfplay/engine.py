@@ -176,13 +176,13 @@ class SelfPlayEngine:
         (reference zero_actor.cpp:54-57, 222-223)."""
         if self.use_rotation:
             rots = jax.vmap(lambda k: jax.random.randint(k, (), 0, self.env.num_rotations()))(rngs_rot)
-            feats = jax.vmap(lambda f, r: self.env.rotate_features(f, r))(feats, rots)
+            feats = self.env.rotate_features_batch(feats, rots)
         out = self.network.apply(variables, feats.astype(self.compute_dtype), train=False)
         policy = out["policy"].astype(jnp.float32)
         logits = out["policy_logit"].astype(jnp.float32)
         if self.use_rotation:
-            policy = jax.vmap(lambda p, r: self.env.rotate_policy_back(p, r))(policy, rots)
-            logits = jax.vmap(lambda p, r: self.env.rotate_policy_back(p, r))(logits, rots)
+            policy = self.env.rotate_policy_back_batch(policy, rots)
+            logits = self.env.rotate_policy_back_batch(logits, rots)
         value = self._scalar_value(out)
         return policy, logits, value
 

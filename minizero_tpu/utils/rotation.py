@@ -90,6 +90,35 @@ def rotate_planes(planes: jnp.ndarray, rotation: jnp.ndarray, board_size: int) -
     return rotated.reshape(planes.shape)
 
 
+def rotate_planes_batch(planes: jnp.ndarray, rotations: jnp.ndarray, board_size: int) -> jnp.ndarray:
+    """Per-lane rotation of ``[B, H, W, C]`` planes by ``rotations`` i32[B].
+
+    TPU-friendly form of ``vmap(rotate_planes)``: a per-lane dynamic gather
+    costs ~0.5ms per b=1024 call on TPU, so instead take all 8 STATIC
+    permutations at once (constant indices — a layout copy) and contract
+    with the rotation one-hot (24 MFLOP)."""
+    nn = board_size * board_size
+    table = position_rotation_table(board_size)[:, :nn]
+    rev_table = table[REVERSED_ROTATION]  # feature rotation reads the inverse
+    b, h, w, c = planes.shape
+    flat = planes.reshape(b, nn, c)
+    allp = jnp.take(flat, jnp.asarray(rev_table.reshape(-1)), axis=1)
+    allp = allp.reshape(b, NUM_ROTATIONS, nn, c)
+    oh = (rotations[:, None] == jnp.arange(NUM_ROTATIONS, dtype=rotations.dtype)).astype(planes.dtype)
+    return jnp.einsum("br,brpc->bpc", oh, allp).reshape(planes.shape)
+
+
+def rotate_action_array_batch(values: jnp.ndarray, rotations: jnp.ndarray, board_size: int) -> jnp.ndarray:
+    """Per-lane ``rotate_action_array`` over ``[B, A]`` (same static-takes +
+    one-hot contraction trick as ``rotate_planes_batch``)."""
+    a = values.shape[-1]
+    table = action_rotation_table(board_size, a)
+    allv = jnp.take(values, jnp.asarray(table.reshape(-1)), axis=-1)
+    allv = allv.reshape(values.shape[:-1] + (NUM_ROTATIONS, a))
+    oh = (rotations[:, None] == jnp.arange(NUM_ROTATIONS, dtype=rotations.dtype)).astype(values.dtype)
+    return jnp.einsum("br,bra->ba", oh, allv)
+
+
 def rotate_action_array(values: jnp.ndarray, rotation: jnp.ndarray, board_size: int) -> jnp.ndarray:
     """Map a per-action vector ``[..., A]`` through the rotation so that
     ``out[a] = values[rotate(a)]`` (used to un-rotate a policy produced from

@@ -173,8 +173,9 @@ class GoEnv(Env):
         oh = (labels[None, :] == jnp.arange(nn, dtype=jnp.int32)[:, None]) & occupied[None, :]
         reach = self._adj_or(oh)  # [L, P] cells adjacent to block members
         lib_count = jnp.sum(reach & empty[None, :], axis=1, dtype=jnp.int32)  # [L]
-        lib_pad = jnp.concatenate([lib_count, jnp.zeros((1,), jnp.int32)])
-        lib_at = jnp.where(occupied, lib_pad[jnp.clip(labels, 0, nn)], 0)
+        # lib_count[labels[p]] via the oh membership reduce — a per-lane
+        # gather here cost 0.66ms per b=1024 env.step on TPU (trace_report)
+        lib_at = jnp.sum(jnp.where(oh, lib_count[:, None], 0), axis=0, dtype=jnp.int32)
         # per-cell keys at the stone's colour; int32 adds wrap mod 2^32,
         # which IS the additive-Zobrist arithmetic (go.cpp:19-71)
         is_black = board == 1

@@ -61,6 +61,15 @@ class ShardedSelfPlay:
         self._replicated = replicated(mesh)
 
     def place_variables(self, variables):
+        def local(x):
+            # a replicated array on ANOTHER mesh (e.g. the global training
+            # mesh under multi-host) must round-trip through its local copy:
+            # device_put across meshes counts as a cross-host transfer
+            if hasattr(x, "sharding") and not x.sharding.is_fully_addressable:
+                return np.asarray(x)
+            return x
+
+        variables = jax.tree_util.tree_map(local, variables)
         return jax.device_put(variables, self._replicated)
 
     def init_batch(self, batch_size: int, rng=None):

@@ -66,6 +66,14 @@ class ZeroLoop:
         self.cfg = cfg
         self.run_dir = run_dir
         self.mesh = mesh
+        # multi-host (SPMD single-controller-per-host): self-play is
+        # embarrassingly parallel, so each process runs it on its OWN
+        # addressable devices (local mesh) and plays its share of the games;
+        # training runs on the global mesh with per-host batch shards
+        # (SURVEY.md §2.6 TPU-native replacement of the TCP+NFS triangle).
+        self.pid = jax.process_index()
+        self.num_procs = jax.process_count()
+        self.is_main = self.pid == 0
         os.makedirs(os.path.join(run_dir, "model"), exist_ok=True)
         os.makedirs(os.path.join(run_dir, "sgf"), exist_ok=True)
 
@@ -110,7 +118,17 @@ class ZeroLoop:
                 make_sharded_train_step,
             )
 
-            self.sharded = ShardedSelfPlay(self.engine, mesh)
+            if self.num_procs > 1:
+                # self-play on this host's devices only: the collector must
+                # read every array it is handed, so its mesh has to be fully
+                # addressable. Training still spans the global mesh below.
+                local = jax.local_devices()
+                from jax.sharding import Mesh as _Mesh
+
+                sp_mesh = _Mesh(np.asarray(local), ("dp",))
+            else:
+                sp_mesh = mesh
+            self.sharded = ShardedSelfPlay(self.engine, sp_mesh)
             self._train_step, self.state, self._state_shardings = make_sharded_train_step(
                 cfg, self.env, self.network, mesh, self.state
             )
@@ -120,8 +138,9 @@ class ZeroLoop:
         self._feat_cast = jax.jit(lambda x: x.astype(jnp.float32))
         self.np_rng = np.random.RandomState(cfg.program_seed + 1)
         self.is_muzero = cfg.nn_type_name.lower() != "alphazero"
-        self._log_file = open(os.path.join(run_dir, "Training.log"), "a")
-        self._op_log = open(os.path.join(run_dir, "op.log"), "a")
+        suffix = "" if self.is_main else f".p{self.pid}"
+        self._log_file = open(os.path.join(run_dir, f"Training{suffix}.log"), "a")
+        self._op_log = open(os.path.join(run_dir, f"op{suffix}.log"), "a")
 
     # ------------------------------------------------------------------- log
     def log(self, message: str) -> None:
@@ -148,12 +167,23 @@ class ZeroLoop:
             return self._host_self_play_iteration(iteration)
         cfg = self.cfg
         temperature = temperature_for_iteration(cfg, iteration)
-        collector = TrajectoryCollector(cfg, self.env.spec, self.selfplay_batch, seed=cfg.program_seed + iteration)
+        collector = TrajectoryCollector(
+            cfg, self.env.spec, self.selfplay_batch,
+            seed=cfg.program_seed + iteration * self.num_procs + self.pid)
         self.rng, k_init = jax.random.split(self.rng)
+        if self.num_procs > 1:
+            k_init = jax.random.fold_in(k_init, self.pid)
         sp = self.sharded or self.engine
         states = sp.init_batch(self.selfplay_batch, k_init)
         num_games, lengths, returns = 0, [], []
-        record_path = os.path.join(self.run_dir, "sgf", f"{iteration}.sgf")
+        # each host plays its share of the iteration's games and appends to
+        # its own record shard (host-0's shard keeps the unsuffixed name)
+        games_target = -(-cfg.zero_num_games_per_iteration // self.num_procs)
+        shard = "" if self.is_main else f".p{self.pid}"
+        record_path = os.path.join(self.run_dir, "sgf", f"{iteration}{shard}.sgf")
+        variables = self.variables
+        if self.num_procs > 1:
+            variables = self.sharded.place_variables(variables)
         t0 = time.time()
         # chunked collection: move_scan advances every game M moves (with
         # in-scan slot resets and device-side resign gating) in ONE dispatch;
@@ -165,10 +195,12 @@ class ZeroLoop:
         enable = jnp.asarray(collector.enable_resign_flags())
         msr = None
         with open(record_path, "a") as record_file:
-            while num_games < cfg.zero_num_games_per_iteration:
+            while num_games < games_target:
                 self.rng, k = jax.random.split(self.rng)
+                if self.num_procs > 1:
+                    k = jax.random.fold_in(k, self.pid)
                 stacked, states, enable, msr = sp.move_scan(
-                    self.variables, states, k, temperature, scan_moves, enable, msr)
+                    variables, states, k, temperature, scan_moves, enable, msr)
                 finished = collector.add_scan(stacked)
                 for fg in finished:
                     self.buffer.add_game(fg.record)
@@ -185,6 +217,47 @@ class ZeroLoop:
         return self._selfplay_stats(iteration, num_games, lengths, returns, time.time() - t0)
 
     def _selfplay_stats(self, iteration, num_games, lengths, returns, dt) -> Dict[str, float]:
+        if self.num_procs > 1:
+            # combine per-host moments so every host logs the global stats
+            # (reference server aggregates worker lines, zero_server.cpp:240-263)
+            from jax.experimental import multihost_utils
+
+            def mom(x):
+                x = np.asarray(x, np.float64)
+                if x.size == 0:
+                    return [0.0, 0.0, np.inf, -np.inf]
+                return [float(x.sum()), float((x * x).sum()), float(x.min()), float(x.max())]
+
+            local = np.array([float(num_games)] + mom(lengths) + mom(returns) + [dt])
+            g = np.asarray(multihost_utils.process_allgather(local))
+            n = g[:, 0].sum()
+            def comb(col):
+                s, sq = g[:, col].sum(), g[:, col + 1].sum()
+                avg = s / max(n, 1.0)
+                std = float(np.sqrt(max(sq / max(n, 1.0) - avg * avg, 0.0)))
+                return avg, std, float(g[:, col + 2].min()), float(g[:, col + 3].max())
+            l_avg, l_std, l_min, l_max = comb(1)
+            r_avg, r_std, r_min, r_max = comb(5)
+            dt = float(g[:, 9].max())
+            stats = {
+                "games": int(n), "time_s": dt,
+                "games_per_sec": n / max(dt, 1e-9),
+                "length_avg": l_avg, "length_std": l_std,
+                "return_avg": r_avg, "return_std": r_std,
+            }
+            self.log(
+                f"[Iteration] {iteration}: self-play {int(n)} games in {dt:.1f}s "
+                f"({stats['games_per_sec']:.2f} games/s, {self.num_procs} hosts)"
+            )
+            self.log(
+                f"[SelfPlay Game Lengths] min: {l_min:g}, max: {l_max:g}, "
+                f"avg: {l_avg:.2f}, std: {l_std:.2f}"
+            )
+            self.log(
+                f"[SelfPlay Game Returns] min: {r_min:g}, max: {r_max:g}, "
+                f"avg: {r_avg:.2f}, std: {r_std:.2f}"
+            )
+            return stats
         stats = {
             "games": num_games,
             "time_s": dt,
@@ -276,11 +349,14 @@ class ZeroLoop:
         self.buffer.per_beta = per_beta_for_iteration(cfg, iteration)
         totals: Dict[str, float] = {}
         t0 = time.time()
+        # multi-host: every host contributes its shard of the global batch
+        # (sampled from its local buffer); the global array assembles them
+        local_bs = cfg.learner_batch_size // self.num_procs
         for step in range(1, cfg.learner_training_step + 1):
             if self.is_muzero:
-                batch = self.buffer.sample_muzero(cfg.learner_batch_size, self.np_rng)
+                batch = self.buffer.sample_muzero(local_bs, self.np_rng)
             else:
-                batch = self.buffer.sample_alphazero(cfg.learner_batch_size, self.np_rng)
+                batch = self.buffer.sample_alphazero(local_bs, self.np_rng)
             sampled_index = batch.pop("sampled_index")
             if self.mesh is not None:
                 from minizero_tpu.parallel.distributed import global_batch_from_local
@@ -298,7 +374,17 @@ class ZeroLoop:
             if cfg.learner_use_per and "_new_values" in metrics:
                 # refresh sampled priorities from the fresh net values
                 # (reference train.py:208-209, data_loader.cpp:233-253)
-                new_values = np.asarray(metrics.pop("_new_values"))
+                nv = metrics.pop("_new_values")
+                if self.num_procs > 1:
+                    # only this host's rows of the batch-sharded global array
+                    from jax.experimental.multihost_utils import (
+                        global_array_to_host_local_array,
+                    )
+                    from jax.sharding import PartitionSpec
+
+                    nv = global_array_to_host_local_array(
+                        nv, self.mesh, PartitionSpec("dp"))
+                new_values = np.asarray(nv)
                 pri = np.empty(len(sampled_index), np.float32)
                 for j, (g, p) in enumerate(sampled_index):
                     rec = self.buffer.games[g]
@@ -323,19 +409,29 @@ class ZeroLoop:
     def save_checkpoint(self) -> str:
         step = int(self.state.step)
         path = os.path.join(self.run_dir, "model", f"weight_iter_{step}.ckpt")
-        payload = {
-            "training_step": step,
-            "state": serialization.to_bytes(self.state),
-            "config": self.cfg.to_string(),
-        }
-        with open(path, "wb") as f:
-            pickle.dump(payload, f)
+        if self.is_main:
+            # the state is replicated, so host-0 alone writes it
+            payload = {
+                "training_step": step,
+                "state": serialization.to_bytes(self.state),
+                "config": self.cfg.to_string(),
+            }
+            with open(path, "wb") as f:
+                pickle.dump(payload, f)
+        if self.num_procs > 1:
+            from jax.experimental.multihost_utils import sync_global_devices
+
+            sync_global_devices(f"ckpt_{step}")
         return path
 
     def load_checkpoint(self, path: str) -> None:
         with open(path, "rb") as f:
             payload = pickle.load(f)
         self.state = serialization.from_bytes(self.state, payload["state"])
+        if self.mesh is not None:
+            # restore the global placement (replicated state: every host
+            # holds the same bytes, device_put broadcasts its local copy)
+            self.state = jax.device_put(self.state, self._state_shardings)
 
     # ---------------------------------------------------------------- resume
     def _rebuild_features(self, actions: np.ndarray) -> np.ndarray:
@@ -374,8 +470,9 @@ class ZeroLoop:
         sgf_dir = os.path.join(self.run_dir, "sgf")
         lo = max(1, start_iter - self.cfg.zero_replay_buffer + 1)
         loaded = 0
+        shard = "" if self.is_main else f".p{self.pid}"
         for it in range(lo, start_iter + 1):
-            path = os.path.join(sgf_dir, f"{it}.sgf")
+            path = os.path.join(sgf_dir, f"{it}{shard}.sgf")
             if not os.path.exists(path):
                 continue
             for line in open(path):
@@ -417,9 +514,10 @@ class ZeroLoop:
             self.save_checkpoint()
             try:
                 # regenerate analysis plots each iteration (reference
-                # learner/train.py:231)
-                from minizero_tpu.tools.analysis import analysis
+                # learner/train.py:231); host-0 only under multi-host
+                if self.is_main:
+                    from minizero_tpu.tools.analysis import analysis
 
-                analysis(self.run_dir)
+                    analysis(self.run_dir)
             except Exception as e:  # plotting must never kill training
                 self.log(f"[Analysis] skipped: {e}")

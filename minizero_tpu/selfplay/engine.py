@@ -510,12 +510,22 @@ class SelfPlayEngine:
         trees, sel = fused_tree_step(
             spec, trees, sel0, *dummy, 0, 0, interpret=self._kernel_interpret)
 
+        iota_n = jnp.arange(spec.max_nodes, dtype=jnp.int32)
+
+        def pick_parent(oh, x):
+            # one-hot masked reduce instead of a per-lane gather: exactly one
+            # node matches, so the native-dtype sum is exact (incl. int32
+            # Zobrist hashes), and no gather means no per-sim layout copies
+            # of the big [B, N, ...] embedding arrays
+            m = oh.reshape(oh.shape + (1,) * (x.ndim - 2))
+            return jnp.sum(jnp.where(m, x, jnp.zeros((), x.dtype)), axis=1, dtype=x.dtype)
+
         def sim_body(s, carry):
             trees, sel, rng = carry
             rng, k_rot = jax.random.split(rng)
+            parent_oh = jnp.maximum(sel.parent, 0)[:, None] == iota_n[None, :]
             parent_embedding = jax.tree_util.tree_map(
-                lambda x: jax.vmap(lambda e, p: e[jnp.maximum(p, 0)])(x, sel.parent),
-                trees.embedding,
+                functools.partial(pick_parent, parent_oh), trees.embedding,
             )
             leaf_states = jax.vmap(env.step)(parent_embedding, sel.action)
             leaf_terminal = jax.vmap(env.is_terminal)(leaf_states)

@@ -163,6 +163,7 @@ class GTPConsole:
             "load_model": self.cmd_load_model,
             "get_conf_str": self.cmd_get_conf_str,
             "load_game": self.cmd_load_game,
+            "tree_string": self.cmd_tree_string,
             "quit": self.cmd_quit,
         }
         self.running = True
@@ -344,6 +345,25 @@ class GTPConsole:
                 return self.fail(f"Invalid SGF action at move {i + 1}: {m['action']}")
         state0 = jax.tree_util.tree_map(lambda x: x[0], actor.states)
         self.success("\n" + render_board(actor.env, state0))
+
+    def cmd_tree_string(self, args):
+        """Dump the current position's search tree (reference
+        Tree::getTreeInfo_r, tree.h:79-110) in SGF-style nesting."""
+        import jax as _jax
+
+        from minizero_tpu.search.mcts import tree_string
+
+        actor = self._ensure_actor()
+        if actor.engine.is_muzero:
+            return self.fail("tree_string is AlphaZero-only")
+        actor.rng, k = _jax.random.split(actor.rng)
+        trees = actor.engine.search_trees(actor.variables, actor.states, k)
+        tree = _jax.tree_util.tree_map(lambda x: x[0], trees)
+        n = actor.env.spec.board_size
+        has_pass = actor.env.spec.has_pass
+        self.success(tree_string(
+            actor.engine.spec, tree,
+            lambda a: action_to_gtp(a, n, has_pass)))
 
     def cmd_quit(self, args):
         self.running = False

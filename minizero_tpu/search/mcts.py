@@ -570,3 +570,36 @@ def is_resign(spec: SearchSpec, tree: Tree, selected_action: jnp.ndarray, thresh
     child_q = node_normalized_mean(spec, tree, jnp.maximum(child, 0))
     child_q = jnp.where(child >= 0, child_q, 0.0)
     return (-root_q < threshold) & (child_q < threshold)
+
+
+def tree_string(spec: SearchSpec, tree: Tree, action_to_str=str) -> str:
+    """SGF-style dump of a single (non-batched) search tree — the analysis
+    surface the reference exposes via ``Tree::getTreeInfo_r`` (tree.h:79-110):
+    each visited node emits ``;[move]C[count/mean/value/prior]`` and child
+    subtrees in parentheses. Host-side (numpy); for console/debug use."""
+    import numpy as np
+
+    visits = np.asarray(tree.visits)
+    mean = np.asarray(tree.mean)
+    value = np.asarray(tree.value)
+    prior = np.asarray(tree.prior)
+    ci = np.asarray(tree.children_index)
+    afp = np.asarray(tree.action_from_parent)
+    parent = np.asarray(tree.parent)
+
+    def node_str(n: int) -> str:
+        if n == 0:
+            move = "root"
+        else:
+            move = action_to_str(int(afp[n]))
+        p = prior[parent[n], afp[n]] if n != 0 else 0.0
+        return (f";[{move}]C[count: {visits[n]:.0f}, mean: {mean[n]:.3f}, "
+                f"value: {value[n]:.3f}, prior: {p:.3f}]")
+
+    def rec(n: int) -> str:
+        kids = [int(c) for c in ci[n] if c >= 0 and visits[int(c)] > 0]
+        kids.sort(key=lambda c: -visits[c])
+        inner = "".join(f"({rec(c)})" for c in kids)
+        return node_str(n) + inner
+
+    return f"({rec(0)})"

@@ -250,10 +250,17 @@ class SelfPlayEngine:
         )
 
     def _alphazero_search(self, variables, states, feats, legal, turns, rng, k_rot, k_noise, temperature):
-        """AlphaZero search: env states ride inside the tree as node
-        embeddings, leaves are stepped envs evaluated on their true features
-        (the TPU replacement for the reference's env-replay-to-leaf,
-        zero_actor.cpp:247-252)."""
+        rng, k_sel = jax.random.split(rng)
+        trees = self._alphazero_trees(variables, states, feats, legal, turns, rng, k_rot, k_noise)
+        # ---- action decision (reference ZeroActor::decideActionNode,
+        # zero_actor.cpp:178-192)
+        return self._decide(trees, k_sel, temperature)
+
+    def _alphazero_trees(self, variables, states, feats, legal, turns, rng, k_rot, k_noise):
+        """AlphaZero search returning the finished trees: env states ride
+        inside the tree as node embeddings, leaves are stepped envs evaluated
+        on their true features (the TPU replacement for the reference's
+        env-replay-to-leaf, zero_actor.cpp:247-252)."""
         env, spec = self.env, self.spec
         batch = feats.shape[0]
 
@@ -285,9 +292,7 @@ class SelfPlayEngine:
             trees = jax.vmap(functools.partial(gz.init_candidates, spec))(trees)
 
         if self.use_tree_kernel:
-            trees = self._kernel_sim_loop(variables, trees, rng)
-            rng, k_sel = jax.random.split(rng)
-            return self._decide(trees, k_sel, temperature)
+            return self._kernel_sim_loop(variables, trees, rng)
 
         ablate = self._ablate
 
@@ -471,11 +476,27 @@ class SelfPlayEngine:
             )
         else:
             trees, rng = jax.lax.fori_loop(1, spec.num_simulations + 1, sim_body, (trees, rng))
+        return trees
 
-        # ---- action decision (reference ZeroActor::decideActionNode,
-        # zero_actor.cpp:178-192)
-        rng, k_sel = jax.random.split(rng)
-        return self._decide(trees, k_sel, temperature)
+    def search_trees(self, variables, states, rng):
+        """Run the full search and return the finished Tree batch — the
+        analysis surface behind the console's ``tree_string`` (the reference
+        dumps its node pool via Tree::getTreeInfo_r, tree.h:79-110).
+        AlphaZero only; compiled on first use."""
+        if self.is_muzero:
+            raise NotImplementedError("tree dump is AlphaZero-only for now")
+        if not hasattr(self, "_search_trees_jit"):
+            def impl(variables, states, rng):
+                env = self.env
+                turns = jax.vmap(env.turn)(states)
+                feats = jax.vmap(env.features)(states)
+                legal = jax.vmap(env.legal_mask)(states)
+                rng, k_rot, k_noise = jax.random.split(rng, 3)
+                variables = self._cast_variables(variables)
+                return self._alphazero_trees(
+                    variables, states, feats, legal, turns, rng, k_rot, k_noise)
+            self._search_trees_jit = jax.jit(impl)
+        return self._search_trees_jit(variables, states, rng)
 
     def _kernel_sim_loop(self, variables, trees, rng):
         """Sim loop driven by the fused Pallas tree kernel: per simulation,

@@ -142,3 +142,13 @@ def test_console_load_game(tmp_path):
     console2, out2 = _console()
     console2.execute("load_game /nonexistent/file.sgf")
     assert out2.getvalue().startswith("?")
+
+
+def test_console_tree_string():
+    console, out = _console()
+    console.execute("play b A1")
+    console.execute("tree_string")
+    text = out.getvalue()
+    # SGF-style nesting with root + at least one visited child
+    assert "[root]C[count:" in text
+    assert text.count("(;") >= 2, text[-500:]

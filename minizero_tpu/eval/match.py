@@ -205,4 +205,35 @@ def run_eval_cli(cfg: Config, args) -> int:
             f"{row['new']} vs {row['old']}: win_rate={row['win_rate']:.3f} "
             f"elo={row['elo']:.1f} ({row['wins']}W/{row['losses']}L/{row['draws']}D)"
         )
+    write_eval_outputs(args.run_dir, results)
     return 0
+
+
+def write_eval_outputs(run_dir: str, results: List[Dict]) -> None:
+    """CSV + Elo curve like the reference's eval.py (tools/eval.py:103-177)."""
+    if not results:
+        return
+    import csv
+
+    csv_path = os.path.join(run_dir, "eval.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(results[0].keys()))
+        w.writeheader()
+        w.writerows(results)
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        steps = [int(r["new"].split("_")[-1].split(".")[0]) for r in results]
+        plt.figure(figsize=(7, 4))
+        plt.plot(steps, [r["elo"] for r in results], marker="o")
+        plt.xlabel("training step")
+        plt.ylabel("Elo (accumulated)")
+        plt.grid(True, alpha=0.3)
+        plt.tight_layout()
+        plt.savefig(os.path.join(run_dir, "eval.png"))
+        plt.close()
+    except Exception:
+        pass  # plotting is best-effort (headless/missing backend)

@@ -17,6 +17,11 @@ from typing import Any, Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from minizero_tpu.ops.tree_kernel import (
+    NextSelection,
+    fused_tree_step,
+    supports_fused_tree_step,
+)
 from minizero_tpu.search import gumbel as gz
 from minizero_tpu.search import mcts
 from minizero_tpu.search.mcts import SearchSpec
@@ -86,6 +91,72 @@ def make_muzero_search(
         if spec.use_gumbel:
             trees = jax.vmap(functools.partial(gz.init_candidates, spec))(trees)
 
+        # fused Pallas tree kernel (ops/tree_kernel.py): board-game MuZero
+        # satisfies its preconditions (zero rewards, discount 1, no value
+        # rescale) — one tree op per simulation instead of the ~95-fusion
+        # XLA path (same speedup as the AlphaZero engine's kernel sim loop)
+        if supports_fused_tree_step(spec):
+            interpret = jax.default_backend() != "tpu"
+            i32 = jnp.int32
+            bool_masks = trees.expanded.dtype == jnp.bool_
+            trees = trees.replace(
+                expanded=trees.expanded.astype(i32),
+                terminal=trees.terminal.astype(i32),
+                legal=trees.legal.astype(i32),
+                gumbel_active=trees.gumbel_active.astype(i32),
+            )
+            A, N = spec.action_size, spec.max_nodes
+            zeros_f = jnp.zeros((batch, A), jnp.float32)
+            dummy = (zeros_f, zeros_f, jnp.zeros((batch, A), bool),
+                     jnp.zeros((batch,), bool), jnp.zeros((batch,), jnp.float32),
+                     jnp.ones((batch,), jnp.int32))
+            sel0 = NextSelection(
+                parent=jnp.zeros((batch,), i32), action=jnp.zeros((batch,), i32),
+                leaf=jnp.full((batch,), -1, i32), is_new=jnp.zeros((batch,), bool),
+                path=jnp.zeros((batch, N), bool))
+            trees, sel = fused_tree_step(
+                spec, trees, sel0, *dummy, 0, 0, interpret=interpret)
+            iota_n = jnp.arange(N, dtype=i32)
+
+            def pick_parent(oh, x):
+                m = oh.reshape(oh.shape + (1,) * (x.ndim - 2))
+                return jnp.sum(jnp.where(m, x, jnp.zeros((), x.dtype)), axis=1, dtype=x.dtype)
+
+            ones_legal = jnp.ones((batch, A), bool)
+            zero_term = jnp.zeros((batch,), bool)
+
+            def kernel_sim_body(s, carry):
+                trees, sel, rng = carry
+                rng, _ = jax.random.split(rng)
+                parent_oh = jnp.maximum(sel.parent, 0)[:, None] == iota_n[None, :]
+                parent_embedding = jax.tree_util.tree_map(
+                    functools.partial(pick_parent, parent_oh), trees.embedding)
+                action_planes = jax.vmap(action_features_fn)(sel.action).astype(compute_dtype)
+                out = network.apply(
+                    variables, parent_embedding, action_planes, train=False,
+                    method=network.recurrent_inference,
+                )
+                value = _scalar(out, "value", discrete_value)
+                parent_turn = jnp.sum(
+                    jnp.where(parent_oh, trees.to_play, 0), axis=1, dtype=i32)
+                leaf_turn = jnp.where(jnp.int32(num_players) == 1,
+                                      jnp.ones_like(parent_turn), 3 - parent_turn)
+                trees, nsel = fused_tree_step(
+                    spec, trees, sel, out["policy"].astype(jnp.float32),
+                    out["policy_logit"].astype(jnp.float32), ones_legal,
+                    zero_term, value, leaf_turn, s, 1, interpret=interpret)
+                trees = mcts.store_embedding_batch(trees, s, out["hidden_state"], sel.is_new)
+                return trees, nsel, rng
+
+            trees, _, rng2 = jax.lax.fori_loop(
+                1, spec.num_simulations + 1, kernel_sim_body, (trees, sel, rng))
+            if bool_masks:
+                trees = trees.replace(
+                    expanded=trees.expanded > 0, terminal=trees.terminal > 0,
+                    legal=trees.legal > 0, gumbel_active=trees.gumbel_active > 0,
+                )
+            return _decide(trees, rng, temperature)
+
         def sim_body(s, carry):
             trees, rng = carry
             rng, _ = jax.random.split(rng)
@@ -144,7 +215,10 @@ def make_muzero_search(
             return trees, rng
 
         trees, rng = jax.lax.fori_loop(1, spec.num_simulations + 1, sim_body, (trees, rng))
+        return _decide(trees, rng, temperature)
 
+    def _decide(trees, rng, temperature) -> SearchResult:
+        batch = trees.visits.shape[0]
         rng, k_sel = jax.random.split(rng)
         sel_keys = jax.random.split(k_sel, batch)
         if spec.use_gumbel:

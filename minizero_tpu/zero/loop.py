@@ -203,6 +203,11 @@ class ZeroLoop:
                     variables, states, k, temperature, scan_moves, enable, msr)
                 finished = collector.add_scan(stacked)
                 for fg in finished:
+                    if num_games >= games_target:
+                        # exact cutoff like the reference server, which stops
+                        # accepting SelfPlay lines at the target
+                        # (zero_server.cpp:191-213) — the chunk may overshoot
+                        break
                     self.buffer.add_game(fg.record)
                     record_file.write(
                         serialize_game(

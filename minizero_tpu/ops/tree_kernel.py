@@ -45,6 +45,24 @@ NEG_INF = -3.4e38  # python float: jnp scalars cannot be captured by pallas kern
 # number of games processed per kernel program instance
 _TILE = 128
 
+# empirical Mosaic live-set coefficient: the kernel's VMEM requirement is
+# ~160 bytes per (game x node x action) element of the tile (measured: Go9
+# N=17 tile 128 -> 16.5MB used; N=201 tile 128 -> 313MB, OOM vs 128MB VMEM)
+_VMEM_BYTES_PER_ELEM = 160
+_VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def _pick_tile(batch: int, n_nodes: int, action_size: int) -> int:
+    """Largest power-of-two tile dividing ``batch`` whose kernel working set
+    fits the VMEM budget (large search trees need smaller tiles)."""
+    fallback = batch
+    for t in (128, 64, 32, 16, 8):
+        if batch % t == 0:
+            fallback = t
+            if _VMEM_BYTES_PER_ELEM * n_nodes * action_size * t <= _VMEM_BUDGET:
+                return t
+    return fallback
+
 
 class NextSelection(NamedTuple):
     """Selection for the next simulation plus its root-to-parent path mask."""
@@ -395,7 +413,7 @@ def fused_tree_step(
     assert supports_fused_tree_step(spec), "board-game fast path only"
     B = trees.visits.shape[0]
     N, A = spec.max_nodes, spec.action_size
-    tile = _TILE if (B % _TILE == 0) else B
+    tile = _pick_tile(B, N, A)
 
     def col(x, dtype=None):
         x = x.reshape(B, 1)

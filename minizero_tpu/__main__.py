@@ -104,16 +104,17 @@ def run_selfplay(cfg, num_games: int, output: str) -> None:
     states = engine.init_batch(batch, k)
     done = 0
     out = open(output, "w") if output else sys.stdout
+    # chunked collection like the zero loop: one dispatch per M moves
+    enable = collector.enable_resign_flags()
+    msr = None
+    scan_moves = max(1, int(cfg.zero_moves_per_dispatch))
     while done < num_games:
         rng, k = jax.random.split(rng)
-        mv = engine.move(variables, states, k)
-        finished, reset_mask = collector.add_moves(mv)
-        if reset_mask.any():
-            rng, k2 = jax.random.split(rng)
-            states = engine.reset_slots(mv.states, reset_mask, k2)
-        else:
-            states = mv.states
-        for fg in finished:
+        stacked, states, enable, msr = engine.move_scan(
+            variables, states, k, 1.0, scan_moves, enable, msr)
+        for fg in collector.add_scan(stacked):
+            if done >= num_games:
+                break
             out.write(serialize_game(env.spec.name, fg.record, env.spec.board_size, fg.players) + "\n")
             done += 1
     if output:

@@ -148,7 +148,7 @@ def make_muzero_search(
                 trees = mcts.store_embedding_batch(trees, s, out["hidden_state"], sel.is_new)
                 return trees, nsel, rng
 
-            trees, _, rng2 = jax.lax.fori_loop(
+            trees, _, rng = jax.lax.fori_loop(
                 1, spec.num_simulations + 1, kernel_sim_body, (trees, sel, rng))
             if bool_masks:
                 trees = trees.replace(

@@ -198,3 +198,21 @@ def test_dependency_graph(tmp_path):
     assert graphml.count("<node ") == len(modules)
     dot = to_dot(modules, edges)
     assert dot.count(" -> ") == len(edges)
+
+
+def test_run_selfplay_board_mode(tmp_path):
+    """-mode sp for board games (move_scan chunked collection)."""
+    from minizero_tpu.__main__ import run_selfplay
+    from minizero_tpu.config import algorithm_preset, default_config
+
+    over = dict(algorithm_preset("gaz"))
+    over.update(actor_num_simulation=4, actor_gumbel_sample_size=4,
+                nn_num_blocks=1, nn_num_hidden_channels=8,
+                nn_num_value_hidden_channels=8, zero_num_parallel_games=4,
+                program_auto_seed=False)
+    cfg = default_config("tictactoe", **over)
+    out = tmp_path / "games.sgf"
+    run_selfplay(cfg, 3, str(out))
+    lines = [l for l in out.read_text().splitlines() if l.strip()]
+    assert len(lines) == 3
+    assert all("RE[" in l for l in lines)

@@ -31,6 +31,13 @@ from minizero_tpu.ops.tree_kernel import (
     fused_tree_step,
     supports_fused_tree_step,
 )
+from minizero_tpu.ops.tree_kernel_v2 import (
+    fused_tree_step_v2,
+    grow,
+    pack_trees,
+    supports_fused_tree_step_v2,
+    unpack_trees,
+)
 from minizero_tpu.search import gumbel as gz
 from minizero_tpu.search import mcts
 from minizero_tpu.search.mcts import SearchSpec, Tree
@@ -106,7 +113,8 @@ class SelfPlayEngine:
     SURVEY.md §7 stage 8)."""
 
     def __init__(self, env: Env, cfg: Config, network, eval_mode: bool = False, use_bf16: bool = True,
-                 use_think_batch: bool = False, _ablate: tuple = ()):
+                 use_think_batch: bool = False, _ablate: tuple = (),
+                 _force_kernel_v2: bool = False):
         self.env = env
         self.cfg = cfg
         self.network = network
@@ -131,11 +139,25 @@ class SelfPlayEngine:
         # simulation for expand+backup+halving+select instead of ~95 XLA
         # fusions. Board-game fast path only; falls back to the XLA sim
         # loop otherwise. Interpreted off-TPU so CPU tests exercise it.
-        self.use_tree_kernel = (
+        kernel_ok = (
             not self.is_muzero
             and not self._ablate
-            and supports_fused_tree_step(self.spec)
             and type(env).reward is Env.reward  # zero in-tree rewards
+        )
+        # large-N AlphaZero uses the edge-indexed v2 kernel
+        # (ops/tree_kernel_v2.py): O(A) per walk step instead of O(N*A), plus
+        # packed-blob node embeddings fetched by a Pallas row gather. Small
+        # trees (Gumbel n=16) stay on v1, whose fully vectorised one-hot form
+        # wins when N is tiny.
+        self.use_tree_kernel_v2 = (
+            kernel_ok
+            and supports_fused_tree_step_v2(self.spec)
+            and (self.spec.max_nodes >= 48 or _force_kernel_v2)
+        )
+        self.use_tree_kernel = (
+            kernel_ok
+            and supports_fused_tree_step(self.spec)
+            and not self.use_tree_kernel_v2
         )
         self._kernel_interpret = jax.default_backend() != "tpu"
         self._move = jax.jit(self._move_impl)
@@ -269,7 +291,12 @@ class SelfPlayEngine:
         )
         root_embedding = states
 
-        proto = jax.tree_util.tree_map(lambda x: x[0], root_embedding)
+        if self.use_tree_kernel_v2:
+            # v2 keeps env states in a packed blob outside the tree; skip the
+            # [B, N, state] embedding allocation entirely
+            proto = jnp.zeros((1,), jnp.int8)
+        else:
+            proto = jax.tree_util.tree_map(lambda x: x[0], root_embedding)
         trees = jax.vmap(lambda t: mcts.init_tree(spec, proto, t))(turns)
         no_parent = jnp.full((batch,), -1, jnp.int32)
         zeros_i = jnp.zeros((batch,), jnp.int32)
@@ -277,11 +304,12 @@ class SelfPlayEngine:
         trees = jax.vmap(
             functools.partial(mcts.expand_node, spec, store_embedding=False)
         )(trees, zeros_i, no_parent, zeros_i, turns, policy, logits, legal, falses)
-        # root embedding lives at slot 0 for every game: static-index store
-        trees = trees.replace(embedding=jax.tree_util.tree_map(
-            lambda full, st: full.at[:, 0].set(st.astype(full.dtype)),
-            trees.embedding, root_embedding,
-        ))
+        if not self.use_tree_kernel_v2:
+            # root embedding lives at slot 0 for every game: static-index store
+            trees = trees.replace(embedding=jax.tree_util.tree_map(
+                lambda full, st: full.at[:, 0].set(st.astype(full.dtype)),
+                trees.embedding, root_embedding,
+            ))
         trees = jax.vmap(functools.partial(mcts.backup, spec))(
             trees, zeros_i, value, jnp.zeros((batch,), jnp.float32)
         )
@@ -291,6 +319,8 @@ class SelfPlayEngine:
         if spec.use_gumbel:
             trees = jax.vmap(functools.partial(gz.init_candidates, spec))(trees)
 
+        if self.use_tree_kernel_v2:
+            return self._kernel_sim_loop_v2(variables, trees, root_embedding, rng)
         if self.use_tree_kernel:
             return self._kernel_sim_loop(variables, trees, rng)
 
@@ -575,6 +605,91 @@ class SelfPlayEngine:
                 legal=trees.legal > 0, gumbel_active=trees.gumbel_active > 0,
             )
         return trees
+
+    def _kernel_sim_loop_v2(self, variables, trees, root_states, rng):
+        """Large-N AlphaZero sim loop on the edge-indexed v2 kernel.
+
+        Env states live in a packed int32 blob ([B, N, W],
+        ``ops/state_blob.py``); the selected parent's state is fetched by a
+        Pallas row gather (O(state bytes) instead of the one-hot pick's
+        O(N * state bytes)). Node capacity is staged (65 -> 129 -> ... -> N)
+        so early simulations stream only the rows that can exist yet."""
+        from minizero_tpu.ops.gather_rows import gather_rows
+        from minizero_tpu.ops.state_blob import blob_spec, pack_rows, unpack_rows
+
+        env, spec = self.env, self.spec
+        batch = trees.visits.shape[0]
+        n = spec.max_nodes
+        interp = self._kernel_interpret
+
+        bspec = blob_spec(jax.tree_util.tree_map(lambda x: x[0], root_states))
+        blob = jnp.zeros((batch, n, bspec.width), jnp.int32)
+        blob = jax.lax.dynamic_update_slice_in_dim(
+            blob, pack_rows(bspec, root_states)[:, None], 0, axis=1)
+
+        # capacity stages: sims in [lo, cap) run on capacity-cap arrays
+        caps = []
+        c = 65
+        while c < n:
+            caps.append(c)
+            c = (c - 1) * 2 + 1
+        caps.append(n)
+
+        packed = pack_trees(spec, trees, caps[0])
+        zeros_f = jnp.zeros((batch, spec.action_size), jnp.float32)
+        zeros_b = jnp.zeros((batch, spec.action_size), bool)
+        dummy = (zeros_f, zeros_b, jnp.zeros((batch,), bool),
+                 jnp.zeros((batch,), jnp.float32), jnp.ones((batch,), jnp.int32))
+        sel = NextSelection(
+            parent=jnp.zeros((batch,), jnp.int32),
+            action=jnp.zeros((batch,), jnp.int32),
+            leaf=jnp.full((batch,), -1, jnp.int32),
+            is_new=jnp.zeros((batch,), bool),
+            path=jnp.zeros((batch, caps[0]), bool),
+        )
+        packed, sel = fused_tree_step_v2(
+            spec, packed, sel, *dummy, 0, 0, interpret=interp)
+
+        def sim_body(s, carry):
+            packed, sel, blob, rng = carry
+            rng, k_rot = jax.random.split(rng)
+            prow = gather_rows(blob, jnp.maximum(sel.parent, 0),
+                               interpret=interp)
+            parent_states = unpack_rows(bspec, prow)
+            leaf_states = jax.vmap(env.step)(parent_states, sel.action)
+            leaf_terminal = jax.vmap(env.is_terminal)(leaf_states)
+            leaf_feats = jax.vmap(env.features)(leaf_states)
+            leaf_policy, _, net_value = self._forward_features(
+                variables, leaf_feats, jax.random.split(k_rot, batch)
+            )
+            scores = jnp.where(
+                leaf_terminal, jax.vmap(env.eval_score)(leaf_states), 0.0)
+            value = jnp.where(leaf_terminal, scores, net_value)
+            leaf_legal = jax.vmap(env.legal_mask)(leaf_states)
+            leaf_turn = jax.vmap(env.turn)(leaf_states).astype(jnp.int32)
+
+            packed, nsel = fused_tree_step_v2(
+                spec, packed, sel, leaf_policy, leaf_legal, leaf_terminal,
+                value, leaf_turn, s, 1, interpret=interp)
+            row = pack_rows(bspec, leaf_states)
+            cur = jax.lax.dynamic_slice_in_dim(blob, s, 1, axis=1)[:, 0]
+            row = jnp.where(sel.is_new[:, None], row, cur)
+            blob = jax.lax.dynamic_update_slice_in_dim(
+                blob, row[:, None], s, axis=1)
+            return packed, nsel, blob, rng
+
+        lo = 1
+        carry = (packed, sel, blob, rng)
+        for cap in caps:
+            packed, sel, blob, rng = carry
+            if packed.visits.shape[1] < cap:
+                packed = grow(packed, cap)
+                sel = sel._replace(path=jnp.pad(
+                    sel.path, ((0, 0), (0, cap - sel.path.shape[1]))))
+            carry = jax.lax.fori_loop(lo, cap, sim_body, (packed, sel, blob, rng))
+            lo = cap
+        packed = carry[0]
+        return unpack_trees(spec, packed, trees)
 
     def _decide(self, trees, k_sel, temperature):
         spec = self.spec

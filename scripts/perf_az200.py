@@ -33,7 +33,8 @@ def main(nsim=200, batch=1024, trace_dir=None):
     net = create_network(cfg, env.spec)
     variables = init_network(net, env.spec, jax.random.PRNGKey(0))
     engine = SelfPlayEngine(env, cfg, net)
-    print("use_tree_kernel:", engine.use_tree_kernel, file=sys.stderr)
+    print("kernel v1:", engine.use_tree_kernel,
+          "v2:", engine.use_tree_kernel_v2, file=sys.stderr)
 
     states = engine.init_batch(batch)
     rng = jax.random.PRNGKey(0)

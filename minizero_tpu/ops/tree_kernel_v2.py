@@ -1,34 +1,34 @@
-"""Large-N fused MCTS tree step: edge-indexed stats + per-game row access.
+"""Large-N fused MCTS tree step: node-indexed stats + vectorised walk.
 
 The v1 kernel (``ops/tree_kernel.py``) expresses every tree access as a
-one-hot masked reduce over the node axis, so each PUCT walk step costs
-O(G*N*A). That is optimal for small trees (Gumbel n=16) but blows up at the
-reference's AlphaZero headline config (n=200: measured 18.4 ms/simulation —
-88% of the move, ``scripts/perf_az200.py``).
+one-hot masked reduce over the node axis across ~6 tree arrays, so each PUCT
+walk step costs O(G*N*A) on several operands. That is optimal for small
+trees (Gumbel n=16) but blows up at the reference's AlphaZero headline
+config (n=200: measured 18.4 ms/simulation — 88% of the move,
+``scripts/perf_az200.py``).
 
-This kernel removes the N factor from the walk:
+This kernel keeps the walk fully vectorised over the game tile (no per-game
+scalar loops — dynamic per-game VMEM slicing lowers to O(N) selects per read
+and measured 7-17 ms/sim) while shrinking both the streamed state and the
+per-step reduce set:
 
-- **Edge-indexed child statistics.** ``cvis``/``cmean`` rows store each
-  node's child visit counts and means directly, updated incrementally during
-  backup, so selection at a node reads only that node's O(A) rows — no
-  membership compare over all N nodes.
-- **Per-game dynamic row reads.** Each game's current-node rows are fetched
-  with dynamic-sliced VMEM reads (``ref[g, pl.ds(u, 1), :]``) in a short
-  per-game loop, then PUCT scoring runs vectorised over the whole tile.
-- **Per-game backup.** The previous simulation's value is propagated by
-  walking parent pointers leaf->root, read-modify-writing one O(A) edge row
-  per level; node visit/mean arrays (needed by the engine's action decision)
-  are updated vectorised via the path mask as before.
-- **Terminal children are encoded in the child-index row**
-  (``-3 - node``), so the walk needs no per-game reads of an ``expanded``
-  array.
-
-Packed layout (lane width ``L = A + 8``): action lanes ``0..A-1`` hold edge
-data; ``cix`` spare lanes hold the node scalars [A]=parent, [A+1]=afp,
-[A+2]=to_play, [A+3]=expanded, [A+4]=terminal; ``cvis`` lane [A] holds the
-node's stored network value. ``cix`` action lanes: ``-2`` illegal, ``-1``
-legal unmaterialised, ``>=0`` expanded child node, ``<=-3`` terminal child
-node ``-3 - cix``.
+- **Node-indexed statistics only.** In MCTS the PUCT child statistics
+  Q(u,a)/N(u,a) ARE the child node's mean/visit count (reference
+  ``actor/mcts.cpp:181-198`` reads child nodes), so no edge-indexed copies
+  are kept: selection gathers child stats from the ``visits``/``mean``
+  node vectors through the parent's child-index row with one one-hot
+  contraction per array. Backup needs NO leaf->root walk at all — the
+  node vectors are updated in one shot via the recorded path mask.
+- **Packed child-index rows.** ``cix`` action lanes encode ``-2`` illegal,
+  ``-1`` legal unmaterialised, ``>=0`` expanded child node, ``<=-3``
+  terminal child node ``-3 - cix``; spare lanes carry the node scalars
+  [A]=parent, [A+1]=afp, [A+2]=to_play, [A+3]=expanded, [A+4]=terminal.
+- **Per-simulation work** is therefore: one masked row write (expand), one
+  masked lane write (parent edge), one path-mask update of three [G, cap]
+  vectors, and a lock-step walk of ~depth iterations, each touching only
+  ``prior``/``cix`` blocks plus the small node vectors.
+- Node capacity is staged (65 -> 129 -> ... -> N) by the engine so early
+  simulations stream only rows that can exist.
 
 Same fast-path contract as v1 (think_batch == 1, no value rescale,
 discount == 1, zero in-tree rewards — reference semantics for board-game
@@ -57,14 +57,13 @@ _VMEM_BUDGET = 100 * 1024 * 1024
 
 
 class PackedTrees(NamedTuple):
-    """Edge-indexed tree arrays for a batch of games (capacity ``cap``)."""
+    """Node-indexed tree arrays for a batch of games (capacity ``cap``)."""
 
     prior: jnp.ndarray  # f32[B, cap, L]
-    cvis: jnp.ndarray  # f32[B, cap, L]: child visits; lane A = node value
-    cmean: jnp.ndarray  # f32[B, cap, L]: child means (player-1 raw)
     cix: jnp.ndarray  # i32[B, cap, L]: child index enc; node scalars at A..
     visits: jnp.ndarray  # f32[B, cap]
     mean: jnp.ndarray  # f32[B, cap]
+    value: jnp.ndarray  # f32[B, cap]: stored network value per node
 
 
 def supports_fused_tree_step_v2(spec: SearchSpec) -> bool:
@@ -83,11 +82,12 @@ def lane_width(spec: SearchSpec) -> int:
 def pick_tile(batch: int, cap: int, lanes: int) -> int:
     """Largest power-of-two tile whose blocks fit the VMEM budget.
 
-    Working set ~= (in + out) x 4 big arrays x f32, lanes padded to 128,
-    node dim to 8 sublanes."""
+    Working set ~= (in + out) x 2 big arrays x 2 buffering levels x f32
+    plus ~4 array-shaped walk transients, lanes padded to 128, node dim to
+    8 sublanes."""
     pad_l = -(-lanes // 128) * 128
     pad_n = -(-cap // 8) * 8
-    per_game = 2 * 4 * pad_n * pad_l * 4
+    per_game = (2 * 2 * 2 + 4) * pad_n * pad_l * 4
     tile = batch
     for t in (256, 128, 64, 32, 16, 8):
         if batch % t == 0:
@@ -113,8 +113,6 @@ def pack_trees(spec: SearchSpec, trees: Tree, cap: int) -> PackedTrees:
         return jnp.pad(x, ((0, 0), (0, l - a)))
 
     prior = f0.at[:, 0, :].set(pad_row(trees.prior[:, 0, :]))
-    cvis = f0.at[:, 0, a].set(trees.value[:, 0])
-    cmean = f0
     lane = jnp.arange(l, dtype=jnp.int32)[None, :]
     root_x = jnp.where(pad_row(trees.legal[:, 0, :].astype(jnp.int32)) > 0,
                        -1, -2)
@@ -129,9 +127,10 @@ def pack_trees(spec: SearchSpec, trees: Tree, cap: int) -> PackedTrees:
     cix = jnp.full((b, cap, l), -2, jnp.int32).at[:, 0, :].set(root_x)
     z = jnp.zeros((b, cap), jnp.float32)
     return PackedTrees(
-        prior=prior, cvis=cvis, cmean=cmean, cix=cix,
+        prior=prior, cix=cix,
         visits=z.at[:, 0].set(trees.visits[:, 0]),
         mean=z.at[:, 0].set(trees.mean[:, 0]),
+        value=z.at[:, 0].set(trees.value[:, 0]),
     )
 
 
@@ -143,11 +142,13 @@ def grow(packed: PackedTrees, cap: int) -> PackedTrees:
     def pad3(x, fill=0):
         return jnp.pad(x, ((0, 0), (0, extra), (0, 0)), constant_values=fill)
 
+    def pad2(x):
+        return jnp.pad(x, ((0, 0), (0, extra)))
+
     return PackedTrees(
-        prior=pad3(packed.prior), cvis=pad3(packed.cvis),
-        cmean=pad3(packed.cmean), cix=pad3(packed.cix, fill=-2),
-        visits=jnp.pad(packed.visits, ((0, 0), (0, extra))),
-        mean=jnp.pad(packed.mean, ((0, 0), (0, extra))),
+        prior=pad3(packed.prior), cix=pad3(packed.cix, fill=-2),
+        visits=pad2(packed.visits), mean=pad2(packed.mean),
+        value=pad2(packed.value),
     )
 
 
@@ -169,7 +170,7 @@ def unpack_trees(spec: SearchSpec, packed: PackedTrees, trees: Tree) -> Tree:
     return trees.replace(
         visits=padn(packed.visits),
         mean=padn(packed.mean),
-        value=padn(packed.cvis[:, :, a]),
+        value=padn(packed.value),
         prior=padn(packed.prior[:, :, :a]),
         legal=padn(cx != -2),
         children_index=padn(ci, fill=-1),
@@ -186,40 +187,23 @@ def unpack_trees(spec: SearchSpec, packed: PackedTrees, trees: Tree) -> Tree:
 # kernel
 # ---------------------------------------------------------------------------
 
-def _sread(ref, g):
-    """Scalar read of a [G, 1] VMEM ref at dynamic row g (reduce of a
-    one-element slice — full reduces lift to scalar registers in Mosaic)."""
-    return jnp.sum(ref[pl.ds(g, 1), :])
-
-
-def _extract(row, mask):
-    """Scalar: the single element of ``row`` selected by ``mask``."""
-    return jnp.sum(jnp.where(mask, row, jnp.zeros((), row.dtype)))
-
-
 def _tree_step_kernel_v2(
     spec: SearchSpec, cap: int, tile: int,
     # scalar prefetch (SMEM)
     scal_ref,  # [2] = (node_idx s, phase)
-    sparent_ref, saction_ref, sleaf_ref, snew_ref,  # i32[B]
-    lterm_ref,  # i32[B]
-    lvalue_ref,  # f32[B]
     # VMEM inputs (tree arrays aliased to outputs)
-    prior_ref, cvis_ref, cmean_ref, cix_ref, visits_ref, mean_ref,
+    prior_ref, cix_ref, visits_ref, mean_ref, value_ref,
     spath_ref,  # i32[G, cap]
     vnew_ref, vterm_ref, vturn_ref,  # i32[G, 1]
-    vparent_ref, vaction_ref,  # i32[G, 1]
+    vparent_ref, vaction_ref, vleaf_ref,  # i32[G, 1]
     vvalue_ref,  # f32[G, 1]
     lpolicy_ref, llegal_ref,  # [G, A]
     # outputs
-    o_prior, o_cvis, o_cmean, o_cix, o_visits, o_mean,
+    o_prior, o_cix, o_visits, o_mean, o_value,
     o_nparent, o_naction, o_nleaf, o_nnew, o_npath,
-    # scratch
-    s_pr, s_cv, s_cm, s_cx, cur_ref, don_ref,
 ):
     a, l = spec.action_size, lane_width(spec)
     g_n = tile
-    i = pl.program_id(0)
     s = scal_ref[0]
     en = scal_ref[1] > 0
 
@@ -227,12 +211,11 @@ def _tree_step_kernel_v2(
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, l), 1)
     lane_a2 = lane2 < a
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+    iota_n3 = jax.lax.broadcasted_iota(jnp.int32, (1, cap, 1), 1)
 
     # working copies: copy-then-mutate (whole blocks stream back to the
     # aliased HBM buffers, so every row must be written)
     o_prior[...] = prior_ref[...]
-    o_cvis[...] = cvis_ref[...]
-    o_cmean[...] = cmean_ref[...]
     o_cix[...] = cix_ref[...]
 
     # ---- 1. expand at row s (vectorised: s is batch-uniform) -------------
@@ -247,7 +230,6 @@ def _tree_step_kernel_v2(
         return jnp.pad(x, ((0, 0), (0, l - a)))
 
     prior_new = pad_l(lpol * lleg) * live  # [G, L]
-    cvis_new = jnp.where(lane2 == a, vvalue_ref[...], 0.0)
     cix_new = jnp.where((pad_l(lleg) * live > 0) & lane_a2, -1, -2)
     lterm_i = (lterm_v > 0).astype(jnp.int32)
     for j, v in enumerate([
@@ -259,89 +241,62 @@ def _tree_step_kernel_v2(
     srow = pl.ds(s, 1)
     o_prior[:, srow, :] = jnp.where(fresh3, prior_new[:, None, :],
                                     o_prior[:, srow, :])
-    o_cvis[:, srow, :] = jnp.where(fresh3, cvis_new[:, None, :],
-                                   o_cvis[:, srow, :])
-    o_cmean[:, srow, :] = jnp.where(
-        fresh3, jnp.zeros((g_n, 1, l), jnp.float32), o_cmean[:, srow, :])
     o_cix[:, srow, :] = jnp.where(fresh3, cix_new[:, None, :],
                                   o_cix[:, srow, :])
 
-    # ---- 2. backup: parent edge write + per-game edge-stat walk ----------
-    lane_par = lane3 == a
-    lane_afp = lane3 == a + 1
+    # ---- 2. backup: parent edge write + path-mask node update -------------
+    # edge write: parent's cix action lane <- child enc (terminal-coded)
+    encv = jnp.where(vterm_ref[...] > 0, -3 - s, s)  # [G, 1]
+    # 3D comparisons on i32 (bool minor-dim insertion is unsupported)
+    oh_par = vparent_ref[...][:, :, None] == iota_n3  # [G, cap, 1]
+    m_edge = oh_par & (lane3 == vaction_ref[...][:, :, None]) & fresh3
+    o_cix[...] = jnp.where(m_edge, encv[:, :, None], o_cix[...])
 
-    @pl.when(en)
-    def _backup():
-        def per_game(g, _):
-            row = i * g_n + g
-            new_g = snew_ref[row] > 0
-            leaf_g = jnp.maximum(sleaf_ref[row], 0)
-            par_g = sparent_ref[row]
+    # start node (new row s or the revisited leaf) and its value
+    leaf0 = jnp.maximum(vleaf_ref[...], 0)  # [G, 1]
+    v0 = jnp.where(snewv > 0, jnp.full((g_n, 1), s, jnp.int32), leaf0)
+    oh_v0 = v0 == iota_n  # [G, cap]
+    stored = jnp.sum(jnp.where(oh_v0, value_ref[...], 0.0),
+                     axis=1, keepdims=True)
+    val = jnp.where(snewv > 0, vvalue_ref[...], stored)  # [G, 1]
 
-            @pl.when(new_g)
-            def _edge():
-                enc = jnp.where(lterm_ref[row] > 0, -3 - s, s)
-                prow = o_cix[pl.ds(g, 1), pl.ds(par_g, 1), :]
-                o_cix[pl.ds(g, 1), pl.ds(par_g, 1), :] = jnp.where(
-                    lane3 == saction_ref[row], enc, prow)
+    # value row write (stored network value of the fresh node)
+    fresh2 = (snewv > 0) & en
+    valrow = jnp.where((v0 == iota_n) & fresh2, vvalue_ref[...],
+                       value_ref[...])
+    o_value[...] = valrow
 
-            v0 = jnp.where(new_g, s, leaf_g)
-            stored = _extract(
-                o_cvis[pl.ds(g, 1), pl.ds(leaf_g, 1), :], lane3 == a)
-            val = jnp.where(new_g, lvalue_ref[row], stored)
-            # stash per-game (val, start node) for the vectorised node update
-            s_pr[pl.ds(g, 1), :] = jnp.broadcast_to(val, (1, l))
-            cur_ref[pl.ds(g, 1), :] = jnp.full((1, 1), v0, jnp.int32)
-
-            def wcond(c):
-                return c[0] > 0
-
-            def wbody(c):
-                v, vl = c
-                nrow = o_cix[pl.ds(g, 1), pl.ds(v, 1), :]
-                p = _extract(nrow, lane_par)
-                av = _extract(nrow, lane_afp)
-                oh = lane3 == av  # av < A always
-                erow_v = o_cvis[pl.ds(g, 1), pl.ds(p, 1), :]
-                nv = erow_v + jnp.where(oh, 1.0, 0.0)
-                erow_m = o_cmean[pl.ds(g, 1), pl.ds(p, 1), :]
-                nm = jnp.where(
-                    oh, erow_m + (vl - erow_m) / jnp.maximum(nv, 1.0), erow_m)
-                o_cvis[pl.ds(g, 1), pl.ds(p, 1), :] = nv
-                o_cmean[pl.ds(g, 1), pl.ds(p, 1), :] = nm
-                return (p, vl)
-
-            jax.lax.while_loop(wcond, wbody, (v0, val))
-            return 0
-
-        jax.lax.fori_loop(0, g_n, per_game, 0)
-
-    # vectorised node visits/mean update via the path mask
-    leaf_node = jnp.where(snewv > 0, jnp.full((g_n, 1), s, jnp.int32),
-                          cur_ref[...])  # cur_ref holds v0 per game
-    leaf_oh = (leaf_node == iota_n).astype(jnp.float32)
-    path = jnp.maximum(spath_ref[...].astype(jnp.float32), leaf_oh)
+    # node visits/mean update via the recorded path mask + the leaf itself
+    path = jnp.maximum(spath_ref[...].astype(jnp.float32),
+                       oh_v0.astype(jnp.float32))
     path = jnp.where(en, path, 0.0)
-    val_vec = s_pr[:, 0:1]  # stashed leaf values (garbage when !en: masked)
     visits = visits_ref[...] + path
     mean_old = mean_ref[...]
     mean = mean_old + jnp.where(
-        path > 0, (val_vec - mean_old) / jnp.maximum(visits, 1.0), 0.0)
+        path > 0, (val - mean_old) / jnp.maximum(visits, 1.0), 0.0)
     o_visits[...] = visits
     o_mean[...] = mean
 
     # ---- 3. walk: PUCT selection for the next simulation ------------------
     lane_tp = lane2 == a + 2
 
-    def puct_phase(curvis, tp):
-        """Vectorised PUCT over the scratch rows; [G, 1] inputs.
+    def child_stats(cx):
+        """Child visit counts / means gathered from the node vectors through
+        the child-index row; [G, l] inputs/outputs."""
+        cx3 = cx[:, None, :]  # i32[G, 1, l]
+        cid3 = jnp.where(cx3 >= 0, cx3, -3 - cx3)  # valid iff enc != -1/-2
+        cvalid3 = ((cx3 >= 0) | (cx3 <= -3)) & (lane3 < a)
+        m = (cid3 == iota_n3) & cvalid3  # [G, cap, l]
+        cv = jnp.sum(jnp.where(m, visits[:, :, None], 0.0), axis=1)
+        cm = jnp.sum(jnp.where(m, mean[:, :, None], 0.0), axis=1)
+        return cv, cm
+
+    def puct_phase(pr, cx, curvis, tp):
+        """Vectorised PUCT over fetched rows; [G, 1] scalar inputs.
 
         Mirrors v1 puct_action / mcts._puct_scores (actor/mcts.cpp:181-217).
         """
-        cv = s_cv[...]
-        cm = s_cm[...]
-        pr = s_pr[...]
-        cx = s_cx[...]
+        cv, cm = child_stats(cx)
         legal = (cx != -2) & lane_a2
         q = cm
         if spec.flip_player2_value:
@@ -375,12 +330,10 @@ def _tree_step_kernel_v2(
     zero_col = jnp.zeros((g_n, 1), jnp.int32)
 
     # root step: rows are batch-uniform static reads
-    s_pr[...] = o_prior[:, 0, :]
-    s_cv[...] = o_cvis[:, 0, :]
-    s_cm[...] = o_cmean[:, 0, :]
-    s_cx[...] = o_cix[:, 0, :]
-    root_tp = jnp.sum(jnp.where(lane_tp, s_cx[...], 0), axis=1, keepdims=True)
-    act0, e0, chvis0 = puct_phase(visits[:, 0:1], root_tp)
+    pr0 = o_prior[:, 0, :]
+    cx0 = o_cix[:, 0, :]
+    root_tp = jnp.sum(jnp.where(lane_tp, cx0, 0), axis=1, keepdims=True)
+    act0, e0, chvis0 = puct_phase(pr0, cx0, visits[:, 0:1], root_tp)
     st_new = e0 == -1
     st_term = e0 <= -3
     done = (st_new | st_term).astype(jnp.int32)
@@ -398,26 +351,11 @@ def _tree_step_kernel_v2(
 
     def wbody(c):
         done, cur, curvis, parent, action, leaf, isnew, npath = c
-        cur_ref[...] = cur
-        don_ref[...] = done
-
-        def fetch(g, _):
-            d = _sread(don_ref, g)
-
-            @pl.when(d < 1)
-            def _rows():
-                u = _sread(cur_ref, g)
-                gi, ui = pl.ds(g, 1), pl.ds(u, 1)
-                s_pr[gi, :] = o_prior[gi, ui, :][:, 0, :]
-                s_cv[gi, :] = o_cvis[gi, ui, :][:, 0, :]
-                s_cm[gi, :] = o_cmean[gi, ui, :][:, 0, :]
-                s_cx[gi, :] = o_cix[gi, ui, :][:, 0, :]
-
-            return 0
-
-        jax.lax.fori_loop(0, g_n, fetch, 0)
-        tp = jnp.sum(jnp.where(lane_tp, s_cx[...], 0), axis=1, keepdims=True)
-        act, e, chvis = puct_phase(curvis, tp)
+        oh3 = cur[:, :, None] == iota_n3  # [G, cap, 1]
+        pr = jnp.sum(jnp.where(oh3, o_prior[...], 0.0), axis=1)
+        cx = jnp.sum(jnp.where(oh3, o_cix[...], 0), axis=1)
+        tp = jnp.sum(jnp.where(lane_tp, cx, 0), axis=1, keepdims=True)
+        act, e, chvis = puct_phase(pr, cx, curvis, tp)
         upd = done < 1
         st_new = upd & (e == -1)
         st_term = upd & (e <= -3)
@@ -461,7 +399,7 @@ def fused_tree_step_v2(
     node_idx, phase,
     interpret: bool = False,
 ):
-    """One simulation's tree transition on edge-indexed packed trees.
+    """One simulation's tree transition on node-indexed packed trees.
 
     Same contract as v1 ``fused_tree_step`` (NextSelection in/out, phase 0 =
     selection only; ``sel.path`` has the packed capacity) but non-Gumbel
@@ -477,19 +415,13 @@ def fused_tree_step_v2(
     def col(x, dtype):
         return x.reshape(b, 1).astype(dtype)
 
-    prefetch = [
-        scalars,
-        sel.parent.astype(i32), sel.action.astype(i32),
-        sel.leaf.astype(i32), sel.is_new.astype(i32),
-        leaf_terminal.astype(i32),
-        leaf_value.astype(jnp.float32),
-    ]
-    tree_in = [packed.prior, packed.cvis, packed.cmean, packed.cix,
-               packed.visits, packed.mean]
+    prefetch = [scalars]
+    tree_in = [packed.prior, packed.cix, packed.visits, packed.mean,
+               packed.value]
     other_in = [
         sel.path.astype(i32),
         col(sel.is_new, i32), col(leaf_terminal, i32), col(leaf_turn, i32),
-        col(sel.parent, i32), col(sel.action, i32),
+        col(sel.parent, i32), col(sel.action, i32), col(sel.leaf, i32),
         col(leaf_value, jnp.float32),
         leaf_policy, leaf_legal.astype(i32),
     ]
@@ -519,14 +451,6 @@ def fused_tree_step_v2(
         grid=(b // tile,),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((tile, l), jnp.float32),  # s_pr
-            pltpu.VMEM((tile, l), jnp.float32),  # s_cv
-            pltpu.VMEM((tile, l), jnp.float32),  # s_cm
-            pltpu.VMEM((tile, l), i32),  # s_cx
-            pltpu.VMEM((tile, 1), i32),  # cur_ref
-            pltpu.VMEM((tile, 1), i32),  # don_ref
-        ],
     )
     n_pref = len(prefetch)
     aliases = {n_pref + i: i for i in range(len(tree_in))}
@@ -541,10 +465,10 @@ def fused_tree_step_v2(
             vmem_limit_bytes=_VMEM_BUDGET + 28 * 1024 * 1024),
     )(*prefetch, *tree_in, *other_in)
 
-    new_packed = PackedTrees(*outs[:6])
+    new_packed = PackedTrees(*outs[:5])
     nsel = NextSelection(
-        parent=outs[6].reshape(b), action=outs[7].reshape(b),
-        leaf=outs[8].reshape(b), is_new=outs[9].reshape(b) > 0,
-        path=outs[10] > 0,
+        parent=outs[5].reshape(b), action=outs[6].reshape(b),
+        leaf=outs[7].reshape(b), is_new=outs[8].reshape(b) > 0,
+        path=outs[9] > 0,
     )
     return new_packed, nsel

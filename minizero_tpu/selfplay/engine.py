@@ -623,9 +623,16 @@ class SelfPlayEngine:
         interp = self._kernel_interpret
 
         bspec = blob_spec(jax.tree_util.tree_map(lambda x: x[0], root_states))
-        blob = jnp.zeros((batch, n, bspec.width), jnp.int32)
+        # gather_rows DMAs need tile-aligned HBM slices: node dim rounded to
+        # the sublane tile (8), row width to the lane tile (128)
+        wpad = -(-bspec.width // 128) * 128
+
+        def pad_w(rows):  # [B, width] -> [B, wpad]
+            return jnp.pad(rows, ((0, 0), (0, wpad - bspec.width)))
+
+        blob = jnp.zeros((batch, -(-n // 8) * 8, wpad), jnp.int32)
         blob = jax.lax.dynamic_update_slice_in_dim(
-            blob, pack_rows(bspec, root_states)[:, None], 0, axis=1)
+            blob, pad_w(pack_rows(bspec, root_states))[:, None], 0, axis=1)
 
         # capacity stages: sims in [lo, cap) run on capacity-cap arrays
         caps = []
@@ -655,7 +662,7 @@ class SelfPlayEngine:
             rng, k_rot = jax.random.split(rng)
             prow = gather_rows(blob, jnp.maximum(sel.parent, 0),
                                interpret=interp)
-            parent_states = unpack_rows(bspec, prow)
+            parent_states = unpack_rows(bspec, prow[:, :bspec.width])
             leaf_states = jax.vmap(env.step)(parent_states, sel.action)
             leaf_terminal = jax.vmap(env.is_terminal)(leaf_states)
             leaf_feats = jax.vmap(env.features)(leaf_states)
@@ -671,7 +678,7 @@ class SelfPlayEngine:
             packed, nsel = fused_tree_step_v2(
                 spec, packed, sel, leaf_policy, leaf_legal, leaf_terminal,
                 value, leaf_turn, s, 1, interpret=interp)
-            row = pack_rows(bspec, leaf_states)
+            row = pad_w(pack_rows(bspec, leaf_states))
             cur = jax.lax.dynamic_slice_in_dim(blob, s, 1, axis=1)[:, 0]
             row = jnp.where(sel.is_new[:, None], row, cur)
             blob = jax.lax.dynamic_update_slice_in_dim(

@@ -34,19 +34,31 @@ def _gather_kernel(tile: int, idx_ref, x_ref, idxv_ref, o_ref, s_ref, sems):
     i = pl.program_id(0)
 
     def issue(g, _):
-        base = (idx_ref[i * tile + g] // 8) * 8
-        pltpu.make_async_copy(
-            x_ref.at[i * tile + g, pl.ds(base, 8)], s_ref.at[g], sems.at[g]
-        ).start()
+        row = idx_ref[i * tile + g]
+
+        @pl.when(row >= 0)  # negative index = skip (inactive game)
+        def _():
+            base = (row // 8) * 8
+            pltpu.make_async_copy(
+                x_ref.at[i * tile + g, pl.ds(base, 8)], s_ref.at[g],
+                sems.at[g],
+            ).start()
+
         return 0
 
     jax.lax.fori_loop(0, tile, issue, 0)
 
     def drain(g, _):
-        base = (idx_ref[i * tile + g] // 8) * 8
-        pltpu.make_async_copy(
-            x_ref.at[i * tile + g, pl.ds(base, 8)], s_ref.at[g], sems.at[g]
-        ).wait()
+        row = idx_ref[i * tile + g]
+
+        @pl.when(row >= 0)
+        def _():
+            base = (row // 8) * 8
+            pltpu.make_async_copy(
+                x_ref.at[i * tile + g, pl.ds(base, 8)], s_ref.at[g],
+                sems.at[g],
+            ).wait()
+
         return 0
 
     jax.lax.fori_loop(0, tile, drain, 0)
@@ -59,7 +71,9 @@ def _gather_kernel(tile: int, idx_ref, x_ref, idxv_ref, o_ref, s_ref, sems):
 
 
 def gather_rows(x: jnp.ndarray, idx: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """x: [B, N, W] (N % 8 == 0, W % 128 == 0), idx: i32[B] in [0, N) -> [B, W]."""
+    """x: [B, N, W] (N % 8 == 0, W % 128 == 0), idx: i32[B] in [0, N) ->
+    [B, W]. Negative idx skips the game's DMA (output row is garbage —
+    callers mask)."""
     b, n, w = x.shape
     assert n % 8 == 0, f"gather_rows needs row dim % 8 == 0, got {n}"
     assert w % 128 == 0, f"gather_rows needs lane dim % 128 == 0, got {w}"

@@ -13,9 +13,14 @@ The semantics mirror ``search/mcts.py`` + ``search/gumbel.py`` exactly
 (which in turn mirror the reference C++, ``actor/mcts.cpp`` /
 ``actor/gumbel_zero.cpp``) under the *board-game fast path* preconditions:
 
-    think_batch == 1, value_rescale == False, discount == 1, env rewards == 0
+    think_batch == 1
 
-(the bench + all board-game self-play; Atari/MuZero keeps the XLA path).
+covering both regimes: the board-game fast path (discount == 1, zero
+rewards, no value rescale — backup is a single path-mask update) and the
+Atari/MuZero path (reward-discounted backup as a leaf->root loop over
+parent pointers, min-max tree value rescaling per ``mcts.cpp:40-53`` —
+trees there are shallow thanks to ``init_q_average``, so the loop is
+short).
 
 Walks are expressed in one-hot form — the current node is a ``[G, N]`` mask,
 row reads are mask-weighted reductions, child stats come from a ``[G, N, A]``
@@ -75,12 +80,9 @@ class NextSelection(NamedTuple):
 
 
 def supports_fused_tree_step(spec: SearchSpec) -> bool:
-    """Board-game fast-path preconditions (see module docstring)."""
-    return (
-        spec.think_batch == 1
-        and not spec.value_rescale
-        and float(spec.discount) == 1.0
-    )
+    """Fast-path precondition: lock-step batching replaces virtual loss, so
+    intra-tree think batches stay on the XLA path."""
+    return spec.think_batch == 1
 
 
 # ---------------------------------------------------------------------------
@@ -97,16 +99,17 @@ def _rowv(oh_f32, arr):
     return jnp.sum(oh_f32 * arr, axis=1, keepdims=True)
 
 
-def _child_stats(ci_row, visits, mean, n_nodes):
+def _child_stats(ci_row, visits, qnode, n_nodes):
     """Per-action child stats via membership compare (no gathers).
 
-    ci_row i32[G, A]; visits/mean f32[G, N] -> (cvis, cmean) f32[G, A].
+    ci_row i32[G, A]; visits/qnode f32[G, N] -> (cvis, cq_raw) f32[G, A].
+    ``qnode`` is the per-node raw q (mean, or reward + discount*mean).
     """
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (1, n_nodes, 1), 1)
     memb = (ci_row[:, None, :] == iota_n).astype(jnp.float32)  # [G, N, A]
     cvis = jnp.sum(memb * visits[:, :, None], axis=1)
-    cmean = jnp.sum(memb * mean[:, :, None], axis=1)
-    return cvis, cmean
+    cq = jnp.sum(memb * qnode[:, :, None], axis=1)
+    return cvis, cq
 
 
 def _argmax_tiebreak(scores, tiebreak):
@@ -132,24 +135,27 @@ def _onehot(idx, n, dtype=jnp.float32):
 
 def _tree_step_kernel(
     spec: SearchSpec,
+    use_rewards: bool,
     # scalar prefetch (SMEM): [node_idx, phase]
     scalars_ref,
     # aliased tree state
     visits_ref, mean_ref, value_ref, expanded_ref, terminal_ref,
     parent_ref, afp_ref, to_play_ref,
     ci_ref, prior_ref, logit_ref, legal_ref,
-    gactive_ref, gm_ref, gbudget_ref,
+    gactive_ref, gm_ref, gbudget_ref, reward_ref,
     # per-sim inputs
     sparent_ref, saction_ref, sleaf_ref, snew_ref, spath_ref,
     lpolicy_ref, llogit_ref, llegal_ref, lterm_ref, lvalue_ref, lturn_ref,
+    lreward_ref,
     # outputs (aliased tree first, then next selection)
     o_visits, o_mean, o_value, o_expanded, o_terminal,
     o_parent, o_afp, o_to_play,
     o_ci, o_prior, o_logit, o_legal,
-    o_gactive, o_gm, o_gbudget,
+    o_gactive, o_gm, o_gbudget, o_reward,
     o_nparent, o_naction, o_nleaf, o_nnew, o_npath,
 ):
     N, A = spec.max_nodes, spec.action_size
+    one_shot = (not use_rewards) and float(spec.discount) == 1.0
     s = scalars_ref[0]
     phase = scalars_ref[1]
     en = phase > 0
@@ -186,6 +192,10 @@ def _tree_step_kernel(
     legal_new = jnp.where(w3 > 0, (legal_row[:, None, :] > 0).astype(jnp.int32),
                           legal_in)
 
+    reward = reward_ref[:, :]
+    if use_rewards:
+        reward = reward * (1.0 - w_node) + w_node * lreward_ref[:, :]
+
     iota_n3 = jax.lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)
     iota_a3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, A), 2)
     sparent = sparent_ref[:, :]
@@ -197,7 +207,7 @@ def _tree_step_kernel(
     )
     ci = jnp.where(edge_m, s, ci)
 
-    # ---- 2. backup (one-shot: discount == 1, rewards == 0) --------------
+    # ---- 2. backup --------------------------------------------------------
     snew = snew_ref[:, :] > 0  # [G, 1]
     leaf_node = jnp.where(snew, jnp.full((G, 1), s, jnp.int32), sleaf_ref[:, :])
     leaf_oh = _onehot(leaf_node, N)
@@ -206,19 +216,69 @@ def _tree_step_kernel(
     value = value * (1.0 - w_node) + w_node * lvalue_ref[:, :]
 
     en_f = jnp.where(en, 1.0, 0.0)
-    path = jnp.maximum(spath_ref[:, :].astype(jnp.float32), leaf_oh) * en_f  # [G, N]
-    visits = visits + path
-    mean = mean + path * (v - mean) / jnp.maximum(visits, 1.0)
+    if one_shot:
+        # discount == 1, zero rewards: every path node receives the same
+        # value, so the whole propagation is one path-mask update
+        path = jnp.maximum(spath_ref[:, :].astype(jnp.float32), leaf_oh) * en_f  # [G, N]
+        visits = visits + path
+        mean = mean + path * (v - mean) / jnp.maximum(visits, 1.0)
+    else:
+        # reward-discounted propagation: walk parent pointers leaf -> root,
+        # updated = reward[node] + discount * updated (mcts.cpp:166-179)
+        parent_f = parent_new.astype(jnp.float32)
+
+        def bcond(c):
+            return jnp.max(c[0].astype(jnp.float32)) >= 0.0
+
+        def bbody(c):
+            cur, updv, visits, mean = c
+            act_m = (cur >= 0).astype(jnp.float32)  # [G, 1]
+            m = _onehot(jnp.maximum(cur, 0), N) * act_m  # [G, N]
+            visits = visits + m
+            mean = mean + m * (updv - mean) / jnp.maximum(visits, 1.0)
+            r_cur = _rowv(m, reward)
+            updv = r_cur + spec.discount * updv
+            par = _rowv(m, parent_f).astype(jnp.int32)
+            cur = jnp.where(cur >= 0, par, cur)
+            return (cur, updv, visits, mean)
+
+        start = jnp.where(en, leaf_node, jnp.full((G, 1), -1, jnp.int32))
+        _, _, visits, mean = jax.lax.while_loop(
+            bcond, bbody, (start, v, visits, mean))
+
+    # per-node raw q (reward + discounted mean) and tree value bounds
+    # (mcts.cpp:40-53, _tree_value_bounds) — fixed during the walk, so
+    # computed once after backup
+    if use_rewards or float(spec.discount) != 1.0:
+        qnode = reward + spec.discount * mean
+    else:
+        qnode = mean
+    if spec.value_rescale:
+        visited_n = visits > 0
+        q_lo = jnp.min(jnp.where(visited_n, qnode, jnp.float32(3.4e38)),
+                       axis=1, keepdims=True)
+        q_hi = jnp.max(jnp.where(visited_n, qnode, NEG_INF),
+                       axis=1, keepdims=True)
+        q_enough = jnp.sum(visited_n.astype(jnp.float32), axis=1,
+                           keepdims=True) >= 2.0
+
+    def norm_q(q, edge_p):
+        """Rescale to tree bounds then flip (mcts._normalize_q)."""
+        if spec.value_rescale:
+            scaled = (q - q_lo) / jnp.maximum(q_hi - q_lo, 1e-8)
+            scaled = jnp.clip(2.0 * scaled - 1.0, -1.0, 1.0)
+            q = jnp.where(q_enough, scaled, jnp.float32(1.0))
+        if spec.flip_player2_value:
+            q = jnp.where(edge_p == 2.0, -q, q)
+        return q
 
     # ---- 3. root child stats --------------------------------------------
     ci0 = ci[:, 0, :]  # [G, A]
     hasc = (ci0 >= 0).astype(jnp.float32)
-    rcv, rcm = _child_stats(ci0, visits, mean, N)
+    rcv, rcq = _child_stats(ci0, visits, qnode, N)
     rcv = rcv * hasc
     root_tp = to_play_new[:, 0:1].astype(jnp.float32)  # [G, 1]
-    q = rcm
-    if spec.flip_player2_value:
-        q = jnp.where(root_tp == 2.0, -q, q)
+    q = norm_q(rcq, root_tp)
     q_vis = jnp.where((hasc > 0) & (rcv > 0), q, 0.0)  # [G, A]
     logit0 = logit_new[:, 0, :]
     legal0 = legal_new[:, 0, :] > 0
@@ -277,13 +337,11 @@ def _tree_step_kernel(
         """[G, N] node mask -> (action i32[G,1], ci_row, prior_row)."""
         ci_row_f = _row(cur_oh, ci.astype(jnp.float32))
         ci_row = ci_row_f.astype(jnp.int32)
-        cvis, cmean = _child_stats(ci_row, visits, mean, N)
+        cvis, cq = _child_stats(ci_row, visits, qnode, N)
         has_child = (ci_row >= 0).astype(jnp.float32)
         cvis = cvis * has_child
         edge_p = _rowv(cur_oh, to_play_new.astype(jnp.float32))  # [G, 1]
-        qn = cmean
-        if spec.flip_player2_value:
-            qn = jnp.where(edge_p == 2.0, -qn, qn)
+        qn = norm_q(cq, edge_p)
         visited = ((has_child > 0) & (cvis > 0)).astype(jnp.float32)
         qn = qn * visited
         sum_q = jnp.sum(qn, axis=1, keepdims=True)
@@ -386,6 +444,7 @@ def _tree_step_kernel(
     o_gactive[:, :] = gactive.astype(jnp.int32)
     o_gm[:, :] = gm
     o_gbudget[:, :] = gbudget
+    o_reward[:, :] = reward
     o_nparent[:, :] = parent_id
     o_naction[:, :] = action_id
     o_nleaf[:, :] = leaf_id
@@ -404,13 +463,17 @@ def fused_tree_step(
     leaf_policy, leaf_logit, leaf_legal, leaf_terminal, leaf_value, leaf_turn,
     node_idx, phase,
     interpret: bool = False,
+    leaf_reward=None,
 ):
     """Run the fused tree transition for one simulation on a batch of trees.
 
     ``phase == 0``: selection only (used once after root init; expand/backup/
-    halving are skipped). Returns ``(trees, NextSelection)``.
+    halving are skipped). ``leaf_reward`` enables the MuZero reward path
+    (discounted backup; None = zero-reward fast path).
+    Returns ``(trees, NextSelection)``.
     """
-    assert supports_fused_tree_step(spec), "board-game fast path only"
+    assert supports_fused_tree_step(spec), "think_batch == 1 only"
+    use_rewards = leaf_reward is not None
     B = trees.visits.shape[0]
     N, A = spec.max_nodes, spec.action_size
     tile = _pick_tile(B, N, A)
@@ -433,13 +496,16 @@ def fused_tree_step(
         trees.gumbel_active.astype(i32),
         col(trees.gumbel_sample_size, i32),
         col(trees.gumbel_budget, jnp.float32),
+        trees.reward,
     ]
+    if leaf_reward is None:
+        leaf_reward = jnp.zeros((B,), jnp.float32)
     sel_in = [
         col(sel.parent, i32), col(sel.action, i32),
         col(sel.leaf, i32), col(sel.is_new, i32), sel.path.astype(i32),
         leaf_policy, leaf_logit, leaf_legal.astype(i32),
         col(leaf_terminal, i32), col(leaf_value, jnp.float32),
-        col(leaf_turn, i32),
+        col(leaf_turn, i32), col(leaf_reward, jnp.float32),
     ]
 
     out_shapes = [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in tree_in] + [
@@ -472,7 +538,7 @@ def fused_tree_step(
     aliases = {i + 1: i for i in range(len(tree_in))}  # +1 for scalar prefetch
 
     outs = pl.pallas_call(
-        functools.partial(_tree_step_kernel, spec),
+        functools.partial(_tree_step_kernel, spec, use_rewards),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         input_output_aliases=aliases,
@@ -496,10 +562,11 @@ def fused_tree_step(
         gumbel_active=back(t[12], trees.gumbel_active),
         gumbel_sample_size=t[13].reshape(B) if trees.gumbel_sample_size.ndim == 1 else t[13],
         gumbel_budget=t[14].reshape(B) if trees.gumbel_budget.ndim == 1 else t[14],
+        reward=t[15],
     )
     nsel = NextSelection(
-        parent=t[15].reshape(B), action=t[16].reshape(B), leaf=t[17].reshape(B),
-        is_new=t[18].reshape(B) > 0, path=t[19] > 0,
+        parent=t[16].reshape(B), action=t[17].reshape(B), leaf=t[18].reshape(B),
+        is_new=t[19].reshape(B) > 0, path=t[20] > 0,
     )
     return new_trees, nsel
 
@@ -534,6 +601,7 @@ def tree_step_reference(
     sel: NextSelection,
     leaf_policy, leaf_logit, leaf_legal, leaf_terminal, leaf_value, leaf_turn,
     node_idx, phase,
+    leaf_reward=None,
 ):
     """Same contract as ``fused_tree_step`` built on mcts/gumbel functions."""
     from minizero_tpu.search import gumbel as gz
@@ -542,14 +610,16 @@ def tree_step_reference(
     B = trees.visits.shape[0]
     en = jnp.asarray(phase, jnp.int32) > 0
     node_b = jnp.full((B,), jnp.asarray(node_idx, jnp.int32))
+    if leaf_reward is None:
+        leaf_reward = jnp.zeros((B,), jnp.float32)
 
-    def per_game(tree, parent, action, leaf, is_new, pol, lg, lgl, term, val, turn, nidx):
+    def per_game(tree, parent, action, leaf, is_new, pol, lg, lgl, term, val, turn, lrew, nidx):
         tree = mcts.expand_node(
             spec, tree, nidx, parent, action, turn, pol, lg, lgl, term,
             enabled=is_new & en, store_embedding=False)
         start = jnp.where(is_new, nidx, jnp.maximum(leaf, 0))
         v = jnp.where(is_new, val, tree.value[start])
-        r = jnp.where(is_new, jnp.float32(0.0), tree.reward[start])
+        r = jnp.where(is_new, lrew, tree.reward[start])
         tree = mcts.backup(spec, tree, start, v, r, store_leaf=is_new, enabled=en)
         if spec.use_gumbel:
             tick = gz.sequential_halving_tick(spec, tree)
@@ -564,7 +634,7 @@ def tree_step_reference(
     trees = jax.vmap(per_game)(
         trees, sel.parent, sel.action, sel.leaf, sel.is_new,
         leaf_policy, leaf_logit, leaf_legal, leaf_terminal, leaf_value,
-        leaf_turn, node_b)
+        leaf_turn, leaf_reward, node_b)
 
     if spec.use_gumbel:
         nsel = jax.vmap(functools.partial(gz.gumbel_select_leaf, spec))(trees)

@@ -91,130 +91,78 @@ def make_muzero_search(
         if spec.use_gumbel:
             trees = jax.vmap(functools.partial(gz.init_candidates, spec))(trees)
 
-        # fused Pallas tree kernel (ops/tree_kernel.py): board-game MuZero
-        # satisfies its preconditions (zero rewards, discount 1, no value
-        # rescale) — one tree op per simulation instead of the ~95-fusion
-        # XLA path (same speedup as the AlphaZero engine's kernel sim loop)
-        if supports_fused_tree_step(spec):
-            interpret = jax.default_backend() != "tpu"
-            i32 = jnp.int32
-            bool_masks = trees.expanded.dtype == jnp.bool_
-            trees = trees.replace(
-                expanded=trees.expanded.astype(i32),
-                terminal=trees.terminal.astype(i32),
-                legal=trees.legal.astype(i32),
-                gumbel_active=trees.gumbel_active.astype(i32),
-            )
-            A, N = spec.action_size, spec.max_nodes
-            zeros_f = jnp.zeros((batch, A), jnp.float32)
-            dummy = (zeros_f, zeros_f, jnp.zeros((batch, A), bool),
-                     jnp.zeros((batch,), bool), jnp.zeros((batch,), jnp.float32),
-                     jnp.ones((batch,), jnp.int32))
-            sel0 = NextSelection(
-                parent=jnp.zeros((batch,), i32), action=jnp.zeros((batch,), i32),
-                leaf=jnp.full((batch,), -1, i32), is_new=jnp.zeros((batch,), bool),
-                path=jnp.zeros((batch, N), bool))
-            trees, sel = fused_tree_step(
-                spec, trees, sel0, *dummy, 0, 0, interpret=interpret)
-            iota_n = jnp.arange(N, dtype=i32)
+        # fused Pallas tree kernel (ops/tree_kernel.py): one tree op per
+        # simulation instead of the ~95-fusion XLA path. Covers board-game
+        # MuZero (zero rewards, discount 1) AND the Atari path (reward head,
+        # discounted backup, min-max value rescale) — the kernel handles
+        # both statically
+        # the device MuZero search always runs think_batch == 1, so the
+        # fused kernel path is unconditional (board + Atari regimes)
+        assert supports_fused_tree_step(spec)
+        interpret = jax.default_backend() != "tpu"
+        i32 = jnp.int32
+        bool_masks = trees.expanded.dtype == jnp.bool_
+        trees = trees.replace(
+            expanded=trees.expanded.astype(i32),
+            terminal=trees.terminal.astype(i32),
+            legal=trees.legal.astype(i32),
+            gumbel_active=trees.gumbel_active.astype(i32),
+        )
+        A, N = spec.action_size, spec.max_nodes
+        zeros_f = jnp.zeros((batch, A), jnp.float32)
+        dummy = (zeros_f, zeros_f, jnp.zeros((batch, A), bool),
+                 jnp.zeros((batch,), bool), jnp.zeros((batch,), jnp.float32),
+                 jnp.ones((batch,), jnp.int32))
+        sel0 = NextSelection(
+            parent=jnp.zeros((batch,), i32), action=jnp.zeros((batch,), i32),
+            leaf=jnp.full((batch,), -1, i32), is_new=jnp.zeros((batch,), bool),
+            path=jnp.zeros((batch, N), bool))
+        trees, sel = fused_tree_step(
+            spec, trees, sel0, *dummy, 0, 0, interpret=interpret)
+        iota_n = jnp.arange(N, dtype=i32)
 
-            def pick_parent(oh, x):
-                m = oh.reshape(oh.shape + (1,) * (x.ndim - 2))
-                return jnp.sum(jnp.where(m, x, jnp.zeros((), x.dtype)), axis=1, dtype=x.dtype)
+        def pick_parent(oh, x):
+            m = oh.reshape(oh.shape + (1,) * (x.ndim - 2))
+            return jnp.sum(jnp.where(m, x, jnp.zeros((), x.dtype)), axis=1, dtype=x.dtype)
 
-            ones_legal = jnp.ones((batch, A), bool)
-            zero_term = jnp.zeros((batch,), bool)
+        ones_legal = jnp.ones((batch, A), bool)
+        zero_term = jnp.zeros((batch,), bool)
 
-            def kernel_sim_body(s, carry):
-                trees, sel, rng = carry
-                rng, _ = jax.random.split(rng)
-                parent_oh = jnp.maximum(sel.parent, 0)[:, None] == iota_n[None, :]
-                parent_embedding = jax.tree_util.tree_map(
-                    functools.partial(pick_parent, parent_oh), trees.embedding)
-                action_planes = jax.vmap(action_features_fn)(sel.action).astype(compute_dtype)
-                out = network.apply(
-                    variables, parent_embedding, action_planes, train=False,
-                    method=network.recurrent_inference,
-                )
-                value = _scalar(out, "value", discrete_value)
-                parent_turn = jnp.sum(
-                    jnp.where(parent_oh, trees.to_play, 0), axis=1, dtype=i32)
-                leaf_turn = jnp.where(jnp.int32(num_players) == 1,
-                                      jnp.ones_like(parent_turn), 3 - parent_turn)
-                trees, nsel = fused_tree_step(
-                    spec, trees, sel, out["policy"].astype(jnp.float32),
-                    out["policy_logit"].astype(jnp.float32), ones_legal,
-                    zero_term, value, leaf_turn, s, 1, interpret=interpret)
-                trees = mcts.store_embedding_batch(trees, s, out["hidden_state"], sel.is_new)
-                return trees, nsel, rng
-
-            trees, _, rng = jax.lax.fori_loop(
-                1, spec.num_simulations + 1, kernel_sim_body, (trees, sel, rng))
-            if bool_masks:
-                trees = trees.replace(
-                    expanded=trees.expanded > 0, terminal=trees.terminal > 0,
-                    legal=trees.legal > 0, gumbel_active=trees.gumbel_active > 0,
-                )
-            return _decide(trees, rng, temperature)
-
-        def sim_body(s, carry):
-            trees, rng = carry
+        def kernel_sim_body(s, carry):
+            trees, sel, rng = carry
             rng, _ = jax.random.split(rng)
-            if spec.use_gumbel:
-                sel = jax.vmap(functools.partial(gz.gumbel_select_leaf, spec))(trees)
-            else:
-                sel = jax.vmap(lambda t: mcts.select_leaf(spec, t, jnp.int32(0)))(trees)
-
+            parent_oh = jnp.maximum(sel.parent, 0)[:, None] == iota_n[None, :]
             parent_embedding = jax.tree_util.tree_map(
-                lambda x: jax.vmap(lambda e, p: e[jnp.maximum(p, 0)])(x, sel.parent),
-                trees.embedding,
-            )
+                functools.partial(pick_parent, parent_oh), trees.embedding)
             action_planes = jax.vmap(action_features_fn)(sel.action).astype(compute_dtype)
             out = network.apply(
                 variables, parent_embedding, action_planes, train=False,
                 method=network.recurrent_inference,
             )
-            policy = out["policy"].astype(jnp.float32)
-            logits = out["policy_logit"].astype(jnp.float32)
             value = _scalar(out, "value", discrete_value)
             if "reward" in out:
                 reward = from_discrete_value(out["reward"].astype(jnp.float32))
             else:
-                reward = jnp.zeros((batch,), jnp.float32)
-            leaf_embedding = out["hidden_state"]
-            leaf_terminal = jnp.zeros((batch,), bool)
-            leaf_legal = jnp.ones((batch, spec.action_size), bool)
-            leaf_turn = jnp.where(
-                jnp.int32(num_players) == 1,
-                jnp.ones_like(sel.parent),
-                3 - jax.vmap(lambda t, p: t.to_play[jnp.maximum(p, 0)])(trees, sel.parent),
+                reward = None
+            parent_turn = jnp.sum(
+                jnp.where(parent_oh, trees.to_play, 0), axis=1, dtype=i32)
+            leaf_turn = jnp.where(jnp.int32(num_players) == 1,
+                                  jnp.ones_like(parent_turn), 3 - parent_turn)
+            trees, nsel = fused_tree_step(
+                spec, trees, sel, out["policy"].astype(jnp.float32),
+                out["policy_logit"].astype(jnp.float32), ones_legal,
+                zero_term, value, leaf_turn, s, 1, interpret=interpret,
+                leaf_reward=reward)
+            trees = mcts.store_embedding_batch(trees, s, out["hidden_state"], sel.is_new)
+            return trees, nsel, rng
+
+        trees, _, rng = jax.lax.fori_loop(
+            1, spec.num_simulations + 1, kernel_sim_body, (trees, sel, rng))
+        if bool_masks:
+            trees = trees.replace(
+                expanded=trees.expanded > 0, terminal=trees.terminal > 0,
+                legal=trees.legal > 0, gumbel_active=trees.gumbel_active > 0,
             )
-            node_idx = jnp.full((batch,), s, jnp.int32)
-
-            def per_game(tree, sel, policy, logits, legal, terminal, value, reward, turn, nidx):
-                # no lax.cond: a vmapped cond executes both branches anyway,
-                # so expand is predicated and backup runs for both cases
-                tree = mcts.expand_node(
-                    spec, tree, nidx, sel.parent, sel.action, turn,
-                    policy, logits, legal, terminal, enabled=sel.is_new,
-                    store_embedding=False,
-                )
-                start = jnp.where(sel.is_new, nidx, jnp.maximum(sel.leaf, 0))
-                val = jnp.where(sel.is_new, value, tree.value[start])
-                rew = jnp.where(sel.is_new, reward, tree.reward[start])
-                return mcts.backup(spec, tree, start, val, rew, store_leaf=sel.is_new)
-
-            trees = jax.vmap(per_game)(
-                trees, sel, policy, logits, leaf_legal, leaf_terminal, value, reward,
-                leaf_turn, node_idx,
-            )
-            # node s is created at sim s: batch-uniform slot -> in-place DUS
-            trees = mcts.store_embedding_batch(trees, s, leaf_embedding, sel.is_new)
-            if spec.use_gumbel:
-                trees = jax.vmap(functools.partial(gz.sequential_halving_tick, spec))(trees)
-            return trees, rng
-
-        trees, rng = jax.lax.fori_loop(1, spec.num_simulations + 1, sim_body, (trees, rng))
         return _decide(trees, rng, temperature)
 
     def _decide(trees, rng, temperature) -> SearchResult:

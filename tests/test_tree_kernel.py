@@ -94,6 +94,7 @@ def tree_stats(trees):
         "gactive": np.asarray(trees.gumbel_active),
         "gm": np.asarray(trees.gumbel_sample_size),
         "gbudget": np.asarray(trees.gumbel_budget),
+        "reward": np.asarray(trees.reward),
     }
 
 
@@ -188,3 +189,52 @@ def test_engine_kernel_path_matches_xla_path():
                                       np.asarray(out_x.action),
                                       err_msg=f"move {mv} action")
         states = out_k.states
+
+
+@pytest.mark.parametrize("use_gumbel", [True, False])
+def test_fused_tree_step_atari_regime(use_gumbel):
+    """MuZero Atari semantics: reward head + discounted backup + min-max
+    value rescale + plain-average init-Q, single player (no value flip)."""
+    spec = SearchSpec(
+        action_size=A,
+        num_simulations=12,
+        use_gumbel=use_gumbel,
+        use_gumbel_noise=use_gumbel,
+        use_dirichlet_noise=not use_gumbel,
+        gumbel_sample_size=4,
+        flip_player2_value=False,
+        discount=0.997,
+        value_rescale=True,
+        init_q_average=True,
+    )
+    assert supports_fused_tree_step(spec)
+    rng = jax.random.PRNGKey(3)
+    rng, k = jax.random.split(rng)
+    trees_k = init_trees(spec, k)
+    trees_r = trees_k
+
+    sel_k = dummy_sel(spec)
+    sel_r = dummy_sel(spec)
+    li = rand_leaf_inputs(spec, jax.random.PRNGKey(99), 0)
+    zero_r = jnp.zeros((B,), jnp.float32)
+    trees_k, sel_k = fused_tree_step(spec, trees_k, sel_k, *li, 0, 0,
+                                     interpret=True, leaf_reward=zero_r)
+    trees_r, sel_r = tree_step_reference(spec, trees_r, sel_r, *li, 0, 0,
+                                         leaf_reward=zero_r)
+    _check(spec, trees_k, trees_r, sel_k, sel_r, step=0)
+
+    for sim in range(1, spec.num_simulations + 1):
+        rng, k, kr = jax.random.split(rng, 3)
+        li = rand_leaf_inputs(spec, k, sim)
+        # MuZero interior nodes: never terminal, all actions legal
+        pol, logit, _, _, val, _ = li
+        legal = jnp.ones((B, A), bool)
+        term = jnp.zeros((B,), bool)
+        turn = jnp.ones((B,), jnp.int32)
+        reward = jax.random.uniform(kr, (B,), minval=-1.0, maxval=1.0)
+        args = (pol, logit, legal, term, val, turn)
+        trees_k, sel_k = fused_tree_step(spec, trees_k, sel_k, *args, sim, 1,
+                                         interpret=True, leaf_reward=reward)
+        trees_r, sel_r = tree_step_reference(spec, trees_r, sel_r, *args,
+                                             sim, 1, leaf_reward=reward)
+        _check(spec, trees_k, trees_r, sel_k, sel_r, step=sim)

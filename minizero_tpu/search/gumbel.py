@@ -23,6 +23,7 @@ from minizero_tpu.search.mcts import (
     Selection,
     Tree,
     _normalize_q,
+    take_node_values,
     _tree_value_bounds,
     root_children_visits,
     select_leaf,
@@ -34,8 +35,8 @@ def _root_child_q_norm(spec: SearchSpec, tree: Tree) -> jnp.ndarray:
     cidx = tree.children_index[0]
     safe = jnp.maximum(cidx, 0)
     has = cidx >= 0
-    visits = jnp.where(has, tree.visits[safe], 0.0)
-    q_raw = tree.reward[safe] + spec.discount * tree.mean[safe]
+    visits = jnp.where(has, take_node_values(tree.visits, safe), 0.0)
+    q_raw = take_node_values(tree.reward + spec.discount * tree.mean, safe)
     q = _normalize_q(spec, q_raw, tree.to_play[0], _tree_value_bounds(spec, tree))
     return jnp.where(has & (visits > 0), q, 0.0), visits
 

@@ -197,6 +197,18 @@ def node_normalized_mean(spec: SearchSpec, tree: Tree, node: jnp.ndarray) -> jnp
     return _normalize_q(spec, q, edge_player, _tree_value_bounds(spec, tree))
 
 
+
+
+def take_node_values(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``values[idx]`` for per-node vectors without a per-lane gather.
+
+    Under ``vmap``, ``x[idx]`` ([A] indices into [N]) lowers to an XLA
+    gather that costs ~0.7 ms per b=1024 call on TPU (CLAUDE.md: the #1
+    perf killer); the one-hot contraction is a trivial [A, N] reduce."""
+    oh = (idx[:, None] == jnp.arange(values.shape[0])[None, :]).astype(values.dtype)
+    return oh @ values
+
+
 # --------------------------------------------------------------------------
 # selection (reference MCTS::selectChildByPUCTScore, mcts.cpp:181-198)
 # --------------------------------------------------------------------------
@@ -207,8 +219,9 @@ def _children_stats(spec: SearchSpec, tree: Tree, node: jnp.ndarray):
     cidx = tree.children_index[node]  # [A]
     has_child = cidx >= 0
     safe = jnp.maximum(cidx, 0)
-    c_visits = jnp.where(has_child, tree.visits[safe], 0.0)
-    c_q_raw = tree.reward[safe] + spec.discount * tree.mean[safe]
+    c_visits = jnp.where(has_child, take_node_values(tree.visits, safe), 0.0)
+    c_q_raw = take_node_values(
+        tree.reward + spec.discount * tree.mean, safe)
     edge_player = tree.to_play[node]
     q_norm = _normalize_q(spec, c_q_raw, edge_player, _tree_value_bounds(spec, tree))
     q_norm = jnp.where(has_child & (c_visits > 0), q_norm, 0.0)
@@ -523,7 +536,7 @@ def root_children_visits(tree: Tree) -> jnp.ndarray:
     """f32[A] visit counts of root children (0 for unvisited)."""
     cidx = tree.children_index[0]
     safe = jnp.maximum(cidx, 0)
-    return jnp.where(cidx >= 0, tree.visits[safe], 0.0)
+    return jnp.where(cidx >= 0, take_node_values(tree.visits, safe), 0.0)
 
 
 def root_children_q(spec: SearchSpec, tree: Tree) -> jnp.ndarray:

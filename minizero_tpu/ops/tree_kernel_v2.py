@@ -1,40 +1,44 @@
-"""Large-N fused MCTS tree step: node-indexed stats + vectorised walk.
+"""Large-N fused MCTS tree step: node-indexed stats + node-space PUCT walk.
 
 The v1 kernel (``ops/tree_kernel.py``) expresses every tree access as a
 one-hot masked reduce over the node axis across ~6 tree arrays, so each PUCT
 walk step costs O(G*N*A) on several operands. That is optimal for small
 trees (Gumbel n=16) but blows up at the reference's AlphaZero headline
 config (n=200: measured 18.4 ms/simulation — 88% of the move,
-``scripts/perf_az200.py``).
+``scripts/perf_az200.py``) — especially since untrained-net PUCT walks are
+chain-deep (depth ~ sims/2, CLAUDE.md "depth wall").
 
 This kernel keeps the walk fully vectorised over the game tile (no per-game
 scalar loops — dynamic per-game VMEM slicing lowers to O(N) selects per read
-and measured 7-17 ms/sim) while shrinking both the streamed state and the
-per-step reduce set:
+and measured 7-17 ms/sim) while touching [G, cap, L] operands only for the
+per-level ROW FETCH:
 
-- **Node-indexed statistics only.** In MCTS the PUCT child statistics
-  Q(u,a)/N(u,a) ARE the child node's mean/visit count (reference
-  ``actor/mcts.cpp:181-198`` reads child nodes), so no edge-indexed copies
-  are kept: selection gathers child stats from the ``visits``/``mean``
-  node vectors through the parent's child-index row with one one-hot
-  contraction per array. Backup needs NO leaf->root walk at all — the
-  node vectors are updated in one shot via the recorded path mask.
-- **Packed child-index rows.** ``cix`` action lanes encode ``-2`` illegal,
-  ``-1`` legal unmaterialised, ``>=0`` expanded child node, ``<=-3``
-  terminal child node ``-3 - cix``; spare lanes carry the node scalars
+- **Node-indexed statistics.** PUCT child statistics Q(u,a)/N(u,a) ARE the
+  child node's mean/visit count (reference ``actor/mcts.cpp:181-198``), and
+  a materialised child always has >= 1 visit, so the materialised-children
+  half of PUCT runs entirely in node space on [G, cap] vectors: candidate
+  mask = (parent_vec == cur), q from ``mean``, exploration from the
+  node-indexed edge prior ``pedge`` (recorded when the edge is first
+  selected). No [G, cap, L] membership mask anywhere.
+- **Lane space only for unmaterialised actions** (which need the parent's
+  prior row) and the legality/child encodings — one one-hot row fetch of
+  ``prior`` + ``cix`` per level, the irreducible O(cap*L) term.
+- The two candidate sets merge under the reference tie-break (max score,
+  ties -> larger prior -> lower action index) via constrained max/min
+  reductions; a lane holds either a materialised child or not, so the
+  chosen action identifies its side uniquely.
+- **Backup is loop-free**: node visits/means update in one path-mask pass;
+  ``cix`` action lanes encode -2 illegal, -1 legal unmaterialised, >=0
+  expanded child node, <=-3 terminal child ``-3 - enc``; spare lanes carry
   [A]=parent, [A+1]=afp, [A+2]=to_play, [A+3]=expanded, [A+4]=terminal.
-- **Per-simulation work** is therefore: one masked row write (expand), one
-  masked lane write (parent edge), one path-mask update of three [G, cap]
-  vectors, and a lock-step walk of ~depth iterations, each touching only
-  ``prior``/``cix`` blocks plus the small node vectors.
 - Node capacity is staged (65 -> 129 -> ... -> N) by the engine so early
   simulations stream only rows that can exist.
 
-Same fast-path contract as v1 (think_batch == 1, no value rescale,
-discount == 1, zero in-tree rewards — reference semantics for board-game
-self-play, ``actor/mcts.cpp:166-179``) restricted to non-Gumbel (plain
-AlphaZero PUCT, ``actor/mcts.cpp:139-149``); Gumbel configs use small trees
-and stay on v1. Validated in interpret mode against
+Same fast-path contract as v1's board regime (think_batch == 1, no value
+rescale, discount == 1, zero in-tree rewards — reference board-game
+self-play semantics, ``actor/mcts.cpp:166-179``) restricted to non-Gumbel
+(plain AlphaZero PUCT, ``actor/mcts.cpp:139-149``); Gumbel configs use
+small trees and stay on v1. Validated in interpret mode against
 ``tree_kernel.tree_step_reference`` (tests/test_tree_kernel_v2.py).
 """
 
@@ -48,10 +52,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from minizero_tpu.ops.tree_kernel import NextSelection
 from minizero_tpu.search.mcts import SearchSpec, Tree
 
 NEG_INF = -3.4e38
+BIG_I = 1 << 29
 _SPARE = 8  # spare lanes for packed node scalars
 _VMEM_BUDGET = 100 * 1024 * 1024
 
@@ -64,6 +68,22 @@ class PackedTrees(NamedTuple):
     visits: jnp.ndarray  # f32[B, cap]
     mean: jnp.ndarray  # f32[B, cap]
     value: jnp.ndarray  # f32[B, cap]: stored network value per node
+    pedge: jnp.ndarray  # f32[B, cap]: prior of the edge into the node
+    pvec: jnp.ndarray  # i32[B, cap]: parent node (-1 for root/unused rows)
+    avec: jnp.ndarray  # i32[B, cap]: action from parent
+    pterm: jnp.ndarray  # i32[B, cap]: terminal flag
+
+
+class V2Selection(NamedTuple):
+    """Next-simulation selection; ``prior`` is the chosen edge's prior,
+    recorded into ``pedge`` when the edge's node is expanded."""
+
+    parent: jnp.ndarray  # i32[B]
+    action: jnp.ndarray  # i32[B]
+    leaf: jnp.ndarray  # i32[B] (-1 for new edges)
+    is_new: jnp.ndarray  # bool[B]
+    path: jnp.ndarray  # bool[B, cap]
+    prior: jnp.ndarray  # f32[B]
 
 
 def supports_fused_tree_step_v2(spec: SearchSpec) -> bool:
@@ -97,14 +117,26 @@ def pick_tile(batch: int, cap: int, lanes: int) -> int:
     return tile
 
 
+def empty_selection_v2(spec: SearchSpec, batch: int, cap: int) -> V2Selection:
+    i32 = jnp.int32
+    return V2Selection(
+        parent=jnp.zeros((batch,), i32),
+        action=jnp.zeros((batch,), i32),
+        leaf=jnp.full((batch,), -1, i32),
+        is_new=jnp.zeros((batch,), bool),
+        path=jnp.zeros((batch, cap), bool),
+        prior=jnp.zeros((batch,), jnp.float32),
+    )
+
+
 # ---------------------------------------------------------------------------
 # pack / unpack <-> mcts.Tree
 # ---------------------------------------------------------------------------
 
 def pack_trees(spec: SearchSpec, trees: Tree, cap: int) -> PackedTrees:
-    """Pack a freshly rooted tree batch (only node 0 expanded) — the engine
-    calls this right after root expand/backup/noise, so no child edges or
-    terminal-child encodings exist yet."""
+    """Pack a freshly rooted tree batch (only node 0 expanded, prior already
+    noised) — the engine calls this right after root expand/backup/noise, so
+    no child edges or terminal-child encodings exist yet."""
     a, l = spec.action_size, lane_width(spec)
     b = trees.visits.shape[0]
     f0 = jnp.zeros((b, cap, l), jnp.float32)
@@ -126,29 +158,37 @@ def pack_trees(spec: SearchSpec, trees: Tree, cap: int) -> PackedTrees:
         root_x = jnp.where(lane == a + j, v[:, None], root_x)
     cix = jnp.full((b, cap, l), -2, jnp.int32).at[:, 0, :].set(root_x)
     z = jnp.zeros((b, cap), jnp.float32)
+    zi = jnp.full((b, cap), -1, jnp.int32)
     return PackedTrees(
         prior=prior, cix=cix,
         visits=z.at[:, 0].set(trees.visits[:, 0]),
         mean=z.at[:, 0].set(trees.mean[:, 0]),
         value=z.at[:, 0].set(trees.value[:, 0]),
+        pedge=z,
+        pvec=zi,
+        avec=zi,
+        pterm=jnp.zeros((b, cap), jnp.int32).at[:, 0].set(
+            trees.terminal[:, 0].astype(jnp.int32)),
     )
 
 
 def grow(packed: PackedTrees, cap: int) -> PackedTrees:
     """Extend node capacity (stage boundary); new rows read as
-    unmaterialised (cix -2)."""
+    unmaterialised (cix -2, parent -1)."""
     extra = cap - packed.visits.shape[1]
 
     def pad3(x, fill=0):
         return jnp.pad(x, ((0, 0), (0, extra), (0, 0)), constant_values=fill)
 
-    def pad2(x):
-        return jnp.pad(x, ((0, 0), (0, extra)))
+    def pad2(x, fill=0):
+        return jnp.pad(x, ((0, 0), (0, extra)), constant_values=fill)
 
     return PackedTrees(
         prior=pad3(packed.prior), cix=pad3(packed.cix, fill=-2),
         visits=pad2(packed.visits), mean=pad2(packed.mean),
-        value=pad2(packed.value),
+        value=pad2(packed.value), pedge=pad2(packed.pedge),
+        pvec=pad2(packed.pvec, fill=-1), avec=pad2(packed.avec, fill=-1),
+        pterm=pad2(packed.pterm),
     )
 
 
@@ -193,14 +233,16 @@ def _tree_step_kernel_v2(
     scal_ref,  # [2] = (node_idx s, phase)
     # VMEM inputs (tree arrays aliased to outputs)
     prior_ref, cix_ref, visits_ref, mean_ref, value_ref,
+    pedge_ref, pvec_ref, avec_ref, pterm_ref,
     spath_ref,  # i32[G, cap]
     vnew_ref, vterm_ref, vturn_ref,  # i32[G, 1]
     vparent_ref, vaction_ref, vleaf_ref,  # i32[G, 1]
-    vvalue_ref,  # f32[G, 1]
+    vvalue_ref, vprior_ref,  # f32[G, 1]
     lpolicy_ref, llegal_ref,  # [G, A]
     # outputs
     o_prior, o_cix, o_visits, o_mean, o_value,
-    o_nparent, o_naction, o_nleaf, o_nnew, o_npath,
+    o_pedge, o_pvec, o_avec, o_pterm,
+    o_nparent, o_naction, o_nleaf, o_nnew, o_nprior, o_npath,
 ):
     a, l = spec.action_size, lane_width(spec)
     g_n = tile
@@ -220,7 +262,8 @@ def _tree_step_kernel_v2(
 
     # ---- 1. expand at row s (vectorised: s is batch-uniform) -------------
     snewv = vnew_ref[...]  # i32[G, 1]
-    fresh3 = ((snewv > 0) & en)[:, :, None]  # [G, 1, 1]
+    fresh2 = (snewv > 0) & en  # [G, 1]
+    fresh3 = fresh2[:, :, None]  # [G, 1, 1]
     lterm_v = vterm_ref[...].astype(jnp.float32)  # [G, 1]
     live = 1.0 - lterm_v
     lpol = lpolicy_ref[...]
@@ -244,6 +287,19 @@ def _tree_step_kernel_v2(
     o_cix[:, srow, :] = jnp.where(fresh3, cix_new[:, None, :],
                                   o_cix[:, srow, :])
 
+    # node-vector columns at slot s
+    colm = (iota_n == s) & fresh2  # [G, cap]
+    pvec = jnp.where(colm, vparent_ref[...], pvec_ref[...])
+    avec = jnp.where(colm, vaction_ref[...], avec_ref[...])
+    pterm = jnp.where(colm, lterm_i, pterm_ref[...])
+    pedge = jnp.where(colm, vprior_ref[...], pedge_ref[...])
+    value = jnp.where(colm, vvalue_ref[...], value_ref[...])
+    o_pvec[...] = pvec
+    o_avec[...] = avec
+    o_pterm[...] = pterm
+    o_pedge[...] = pedge
+    o_value[...] = value
+
     # ---- 2. backup: parent edge write + path-mask node update -------------
     # edge write: parent's cix action lane <- child enc (terminal-coded)
     encv = jnp.where(vterm_ref[...] > 0, -3 - s, s)  # [G, 1]
@@ -256,15 +312,8 @@ def _tree_step_kernel_v2(
     leaf0 = jnp.maximum(vleaf_ref[...], 0)  # [G, 1]
     v0 = jnp.where(snewv > 0, jnp.full((g_n, 1), s, jnp.int32), leaf0)
     oh_v0 = v0 == iota_n  # [G, cap]
-    stored = jnp.sum(jnp.where(oh_v0, value_ref[...], 0.0),
-                     axis=1, keepdims=True)
+    stored = jnp.sum(jnp.where(oh_v0, value, 0.0), axis=1, keepdims=True)
     val = jnp.where(snewv > 0, vvalue_ref[...], stored)  # [G, 1]
-
-    # value row write (stored network value of the fresh node)
-    fresh2 = (snewv > 0) & en
-    valrow = jnp.where((v0 == iota_n) & fresh2, vvalue_ref[...],
-                       value_ref[...])
-    o_value[...] = valrow
 
     # node visits/mean update via the recorded path mask + the leaf itself
     path = jnp.maximum(spath_ref[...].astype(jnp.float32),
@@ -279,61 +328,66 @@ def _tree_step_kernel_v2(
 
     # ---- 3. walk: PUCT selection for the next simulation ------------------
     lane_tp = lane2 == a + 2
+    # per-node child encoding (used when the chosen action is materialised)
+    enc_vec = jnp.where(pterm > 0, -3 - iota_n, iota_n)  # i32[G, cap]
 
-    def child_stats(cx):
-        """Child visit counts / means gathered from the node vectors through
-        the child-index row; [G, l] inputs/outputs."""
-        cx3 = cx[:, None, :]  # i32[G, 1, l]
-        cid3 = jnp.where(cx3 >= 0, cx3, -3 - cx3)  # valid iff enc != -1/-2
-        cvalid3 = ((cx3 >= 0) | (cx3 <= -3)) & (lane3 < a)
-        m = (cid3 == iota_n3) & cvalid3  # [G, cap, l]
-        cv = jnp.sum(jnp.where(m, visits[:, :, None], 0.0), axis=1)
-        cm = jnp.sum(jnp.where(m, mean[:, :, None], 0.0), axis=1)
-        return cv, cm
+    def puct_phase(pr, cx, cur, curvis):
+        """One PUCT step: materialised children scored in node space
+        ([G, cap] vectors), unmaterialised legal actions in lane space,
+        merged under the reference tie-break (max score -> larger prior ->
+        lower action index; mirrors mcts.cpp:181-217 + _argmax_tiebreak).
+        [G, l] rows, [G, 1] scalars."""
+        tp = jnp.sum(jnp.where(lane_tp, cx, 0), axis=1, keepdims=True)
 
-    def puct_phase(pr, cx, curvis, tp):
-        """Vectorised PUCT over fetched rows; [G, 1] scalar inputs.
+        total = curvis - 1.0
+        bias = spec.puct_init + jnp.log(
+            (1.0 + total + spec.puct_base) / spec.puct_base)
+        sq_total = jnp.sqrt(jnp.maximum(total, 0.0))
 
-        Mirrors v1 puct_action / mcts._puct_scores (actor/mcts.cpp:181-217).
-        """
-        cv, cm = child_stats(cx)
-        legal = (cx != -2) & lane_a2
-        q = cm
+        # node space: materialised children of cur (always visited)
+        childm = pvec == cur  # [G, cap]
+        q = mean
         if spec.flip_player2_value:
             q = jnp.where(tp == 2, -q, q)
-        visited = (cv > 0) & lane_a2
-        visited_f = visited.astype(jnp.float32)
-        q_v = jnp.where(visited, q, 0.0)
-        sum_q = jnp.sum(q_v, axis=1, keepdims=True)
-        nvst = jnp.sum(visited_f, axis=1, keepdims=True)
+        u_m = bias * pedge * sq_total / (1.0 + visits)
+        sc_m = jnp.where(childm, q + u_m, NEG_INF)
+        sum_q = jnp.sum(jnp.where(childm, q, 0.0), axis=1, keepdims=True)
+        nvst = jnp.sum(jnp.where(childm, 1.0, 0.0), axis=1, keepdims=True)
         if spec.init_q_average:
             init_q = jnp.where(nvst > 0, sum_q / jnp.maximum(nvst, 1.0), 1.0)
         else:
             init_q = (sum_q - 1.0) / (nvst + 1.0)
-        total = curvis - 1.0
-        bias = spec.puct_init + jnp.log(
-            (1.0 + total + spec.puct_base) / spec.puct_base)
-        u = bias * pr * jnp.sqrt(jnp.maximum(total, 0.0)) / (1.0 + cv)
-        sc = u + jnp.where(visited, q, init_q)
-        sc = jnp.where(legal, sc, NEG_INF)
-        # argmax, ties -> larger prior then lower index (v1 _argmax_tiebreak)
-        best = jnp.max(sc, axis=1, keepdims=True)
-        tb = jnp.where(sc >= best, pr, NEG_INF)
-        best_tb = jnp.max(tb, axis=1, keepdims=True)
-        cand = jnp.where(tb >= best_tb, lane2, l)
-        act = jnp.min(cand, axis=1, keepdims=True)  # i32[G, 1]
-        oh = lane2 == act
-        e = jnp.sum(jnp.where(oh, cx, 0), axis=1, keepdims=True)
-        chvis = jnp.sum(jnp.where(oh, cv, 0.0), axis=1, keepdims=True)
-        return act, e, chvis
+
+        # lane space: legal unmaterialised actions (zero visits)
+        unmat = (cx == -1) & lane_a2
+        sc_u = jnp.where(unmat, init_q + bias * pr * sq_total, NEG_INF)
+
+        # merged argmax with tie-break; a lane is never in both sets
+        s_best = jnp.maximum(jnp.max(sc_m, axis=1, keepdims=True),
+                             jnp.max(sc_u, axis=1, keepdims=True))
+        tie_m = sc_m >= s_best
+        tie_u = sc_u >= s_best
+        p_best = jnp.maximum(
+            jnp.max(jnp.where(tie_m, pedge, NEG_INF), axis=1, keepdims=True),
+            jnp.max(jnp.where(tie_u, pr, NEG_INF), axis=1, keepdims=True))
+        am = jnp.min(jnp.where(tie_m & (pedge >= p_best), avec, BIG_I),
+                     axis=1, keepdims=True)
+        au = jnp.min(jnp.where(tie_u & (pr >= p_best), lane2, BIG_I),
+                     axis=1, keepdims=True)
+        act = jnp.minimum(am, au)
+        is_mat = am < au
+        vm = childm & (avec == act)  # the unique child on that action
+        e_m = jnp.sum(jnp.where(vm, enc_vec, 0), axis=1, keepdims=True)
+        chvis_m = jnp.sum(jnp.where(vm, visits, 0.0), axis=1, keepdims=True)
+        e = jnp.where(is_mat, e_m, -1)
+        chvis = jnp.where(is_mat, chvis_m, 0.0)
+        return act, e, chvis, p_best
 
     zero_col = jnp.zeros((g_n, 1), jnp.int32)
 
     # root step: rows are batch-uniform static reads
-    pr0 = o_prior[:, 0, :]
-    cx0 = o_cix[:, 0, :]
-    root_tp = jnp.sum(jnp.where(lane_tp, cx0, 0), axis=1, keepdims=True)
-    act0, e0, chvis0 = puct_phase(pr0, cx0, visits[:, 0:1], root_tp)
+    act0, e0, chvis0, psel0 = puct_phase(
+        o_prior[:, 0, :], o_cix[:, 0, :], zero_col, visits[:, 0:1])
     st_new = e0 == -1
     st_term = e0 <= -3
     done = (st_new | st_term).astype(jnp.int32)
@@ -341,6 +395,7 @@ def _tree_step_kernel_v2(
     action = act0
     leaf = jnp.where(st_term, -e0 - 3, -1)
     isnew = st_new.astype(jnp.int32)
+    psel = psel0
     npath = (iota_n == 0).astype(jnp.float32) + jnp.where(
         st_term, (jnp.maximum(leaf, 0) == iota_n).astype(jnp.float32), 0.0)
     cur = jnp.where(done > 0, zero_col, e0)
@@ -350,12 +405,11 @@ def _tree_step_kernel_v2(
         return jnp.min(c[0].astype(jnp.float32)) < 1.0
 
     def wbody(c):
-        done, cur, curvis, parent, action, leaf, isnew, npath = c
+        done, cur, curvis, parent, action, leaf, isnew, psel, npath = c
         oh3 = cur[:, :, None] == iota_n3  # [G, cap, 1]
         pr = jnp.sum(jnp.where(oh3, o_prior[...], 0.0), axis=1)
         cx = jnp.sum(jnp.where(oh3, o_cix[...], 0), axis=1)
-        tp = jnp.sum(jnp.where(lane_tp, cx, 0), axis=1, keepdims=True)
-        act, e, chvis = puct_phase(pr, cx, curvis, tp)
+        act, e, chvis, p_sel = puct_phase(pr, cx, cur, curvis)
         upd = done < 1
         st_new = upd & (e == -1)
         st_term = upd & (e <= -3)
@@ -370,20 +424,22 @@ def _tree_step_kernel_v2(
         action = jnp.where(st, act, action)
         leaf = jnp.where(st, jnp.where(st_term, term_leaf, -1), leaf)
         isnew = jnp.where(st, st_new.astype(jnp.int32), isnew)
+        psel = jnp.where(st, p_sel, psel)
         descend = upd & ~st
         cur = jnp.where(descend, e, cur)
         curvis = jnp.where(descend, chvis, curvis)
         done = jnp.maximum(done, st.astype(jnp.int32))
-        return (done, cur, curvis, parent, action, leaf, isnew, npath)
+        return (done, cur, curvis, parent, action, leaf, isnew, psel, npath)
 
-    carry = (done, cur, curvis, parent, action, leaf, isnew, npath)
-    (done, cur, curvis, parent, action, leaf, isnew, npath) = (
+    carry = (done, cur, curvis, parent, action, leaf, isnew, psel, npath)
+    (done, cur, curvis, parent, action, leaf, isnew, psel, npath) = (
         jax.lax.while_loop(wcond, wbody, carry))
 
     o_nparent[...] = parent
     o_naction[...] = action
     o_nleaf[...] = leaf
     o_nnew[...] = isnew
+    o_nprior[...] = psel
     o_npath[...] = (npath > 0).astype(jnp.int32)
 
 
@@ -394,14 +450,14 @@ def _tree_step_kernel_v2(
 def fused_tree_step_v2(
     spec: SearchSpec,
     packed: PackedTrees,
-    sel: NextSelection,
+    sel: V2Selection,
     leaf_policy, leaf_legal, leaf_terminal, leaf_value, leaf_turn,
     node_idx, phase,
     interpret: bool = False,
 ):
     """One simulation's tree transition on node-indexed packed trees.
 
-    Same contract as v1 ``fused_tree_step`` (NextSelection in/out, phase 0 =
+    Same contract as v1 ``fused_tree_step`` (selection in/out, phase 0 =
     selection only; ``sel.path`` has the packed capacity) but non-Gumbel
     only and without logit bookkeeping (PUCT never reads logits)."""
     assert supports_fused_tree_step_v2(spec)
@@ -417,12 +473,13 @@ def fused_tree_step_v2(
 
     prefetch = [scalars]
     tree_in = [packed.prior, packed.cix, packed.visits, packed.mean,
-               packed.value]
+               packed.value, packed.pedge, packed.pvec, packed.avec,
+               packed.pterm]
     other_in = [
         sel.path.astype(i32),
         col(sel.is_new, i32), col(leaf_terminal, i32), col(leaf_turn, i32),
         col(sel.parent, i32), col(sel.action, i32), col(sel.leaf, i32),
-        col(leaf_value, jnp.float32),
+        col(leaf_value, jnp.float32), col(sel.prior, jnp.float32),
         leaf_policy, leaf_legal.astype(i32),
     ]
 
@@ -431,6 +488,7 @@ def fused_tree_step_v2(
         jax.ShapeDtypeStruct((b, 1), i32),  # next action
         jax.ShapeDtypeStruct((b, 1), i32),  # next leaf
         jax.ShapeDtypeStruct((b, 1), i32),  # next is_new
+        jax.ShapeDtypeStruct((b, 1), jnp.float32),  # next edge prior
         jax.ShapeDtypeStruct((b, cap), i32),  # next path
     ]
 
@@ -465,10 +523,11 @@ def fused_tree_step_v2(
             vmem_limit_bytes=_VMEM_BUDGET + 28 * 1024 * 1024),
     )(*prefetch, *tree_in, *other_in)
 
-    new_packed = PackedTrees(*outs[:5])
-    nsel = NextSelection(
-        parent=outs[5].reshape(b), action=outs[6].reshape(b),
-        leaf=outs[7].reshape(b), is_new=outs[8].reshape(b) > 0,
-        path=outs[9] > 0,
+    nt = len(tree_in)
+    new_packed = PackedTrees(*outs[:nt])
+    nsel = V2Selection(
+        parent=outs[nt].reshape(b), action=outs[nt + 1].reshape(b),
+        leaf=outs[nt + 2].reshape(b), is_new=outs[nt + 3].reshape(b) > 0,
+        path=outs[nt + 5] > 0, prior=outs[nt + 4].reshape(b),
     )
     return new_packed, nsel

@@ -32,6 +32,7 @@ from minizero_tpu.ops.tree_kernel import (
     supports_fused_tree_step,
 )
 from minizero_tpu.ops.tree_kernel_v2 import (
+    empty_selection_v2,
     fused_tree_step_v2,
     grow,
     pack_trees,
@@ -647,13 +648,7 @@ class SelfPlayEngine:
         zeros_b = jnp.zeros((batch, spec.action_size), bool)
         dummy = (zeros_f, zeros_b, jnp.zeros((batch,), bool),
                  jnp.zeros((batch,), jnp.float32), jnp.ones((batch,), jnp.int32))
-        sel = NextSelection(
-            parent=jnp.zeros((batch,), jnp.int32),
-            action=jnp.zeros((batch,), jnp.int32),
-            leaf=jnp.full((batch,), -1, jnp.int32),
-            is_new=jnp.zeros((batch,), bool),
-            path=jnp.zeros((batch, caps[0]), bool),
-        )
+        sel = empty_selection_v2(spec, batch, caps[0])
         packed, sel = fused_tree_step_v2(
             spec, packed, sel, *dummy, 0, 0, interpret=interp)
 

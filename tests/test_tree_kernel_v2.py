@@ -16,6 +16,7 @@ import pytest
 
 from minizero_tpu.ops.tree_kernel import NextSelection, tree_step_reference
 from minizero_tpu.ops.tree_kernel_v2 import (
+    empty_selection_v2,
     fused_tree_step_v2,
     grow,
     pack_trees,
@@ -65,6 +66,10 @@ def dummy_sel(cap):
     )
 
 
+def dummy_sel_v2(spec, cap):
+    return empty_selection_v2(spec, B, cap)
+
+
 def rand_leaf_inputs(rng):
     k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
     policy = jax.nn.softmax(jax.random.normal(k1, (B, A)))
@@ -110,7 +115,7 @@ def test_fused_tree_step_v2_matches_reference(staged):
     trees_r = init_trees(spec, k)
     packed = pack_trees(spec, trees_r, caps[0])
 
-    sel_k = dummy_sel(caps[0])
+    sel_k = dummy_sel_v2(spec, caps[0])
     sel_r = dummy_sel(n)
     li = rand_leaf_inputs(jax.random.PRNGKey(99))
     pol, logit, legal, term, val, turn = li

@@ -42,6 +42,7 @@ def atari_spec(game_name: str = "ms_pacman") -> EnvSpec:
         num_input_channels=HISTORY * 4,
         input_height=RESOLUTION,
         input_width=RESOLUTION,
+        binary_features=False,
         hidden_height=6,
         hidden_width=6,
         num_action_feature_channels=ACTION_SIZE,

@@ -45,6 +45,7 @@ class EnvSpec:
     discrete_value_size: int = 1
     max_game_length: int = 0  # hard cap on moves per game (for fixed shapes)
     has_pass: bool = False
+    binary_features: bool = True  # 0/1 planes -> bit-packable for transfer
 
 
 class Env:

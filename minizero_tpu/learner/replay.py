@@ -161,13 +161,17 @@ class ReplayBuffer:
         applied later on device."""
         game_ids, pos_ids, loss_scale = self.sample_indices(batch_size, rng)
         spec = self.spec
-        feats = np.empty((batch_size, spec.input_height, spec.input_width, spec.num_input_channels), np.uint8)
-        policy = np.empty((batch_size, spec.action_size), np.float32)
+        # records may hold bit-packed planes — follow their channel count
+        feat_c = self.games[game_ids[0]].features.shape[-1]
+        feats = np.empty((batch_size, spec.input_height, spec.input_width, feat_c), np.uint8)
+        # f16 end to end: records store f16 and the train step upcasts on
+        # device, so the host->device batch stream stays half-width
+        policy = np.empty((batch_size, spec.action_size), np.float16)
         value = np.empty((batch_size,), np.float32)
         for i, (g, p) in enumerate(zip(game_ids, pos_ids)):
             rec = self.games[g]
             feats[i] = rec.features[p]
-            policy[i] = rec.policy[p].astype(np.float32)
+            policy[i] = rec.policy[p]
             # board-game value target = game return from P1's perspective
             # (reference TicTacToeEnvLoader::getValue -> getReturn())
             value[i] = rec.result
@@ -186,12 +190,13 @@ class ReplayBuffer:
         spec = self.spec
         k = self.cfg.learner_muzero_unrolling_step
         a = spec.action_size
-        feats = np.empty((batch_size, spec.input_height, spec.input_width, spec.num_input_channels), np.uint8)
+        feat_c = self.games[game_ids[0]].features.shape[-1]
+        feats = np.empty((batch_size, spec.input_height, spec.input_width, feat_c), np.uint8)
         actions = np.empty((batch_size, k), np.int32)
-        policy = np.empty((batch_size, k + 1, a), np.float32)
+        policy = np.empty((batch_size, k + 1, a), np.float16)
         value = np.empty((batch_size, k + 1), np.float32)
         reward = np.zeros((batch_size, k), np.float32)
-        uniform = np.full((a,), 1.0 / a, np.float32)
+        uniform = np.full((a,), 1.0 / a, np.float16)
         hidden_positions = spec.hidden_height * spec.hidden_width
         for i, (g, p) in enumerate(zip(game_ids, pos_ids)):
             rec = self.games[g]
@@ -205,7 +210,7 @@ class ReplayBuffer:
                     actions[i, step] = rec.actions[pos] if inside else rng.randint(hidden_positions)
                     reward[i, step] = rec.rewards[pos] if inside else 0.0
                 # absorbing policy is uniform (reference base_env.h:262-264)
-                policy[i, step] = rec.policy[pos].astype(np.float32) if inside else uniform
+                policy[i, step] = rec.policy[pos] if inside else uniform
                 value[i, step] = self.value_target(rec, pos)
         return {
             "features": feats,

@@ -166,7 +166,8 @@ def make_train_step(cfg: Config, env: Env, network):
 
     def alphazero_loss(params, batch_stats, batch, rng):
         feats = batch["features"].astype(jnp.float32) * feat_scale
-        feats, policy_label, _ = _augment_rotation(env, rng, feats, batch["policy"])
+        feats, policy_label, _ = _augment_rotation(
+            env, rng, feats, batch["policy"].astype(jnp.float32))
         out, mutated = network.apply(
             {"params": params, "batch_stats": batch_stats}, feats, train=True, mutable=["batch_stats"]
         )
@@ -186,7 +187,8 @@ def make_train_step(cfg: Config, env: Env, network):
 
     def muzero_loss(params, batch_stats, batch, rng):
         feats = batch["features"].astype(jnp.float32) * feat_scale
-        feats, policy_label, actions = _augment_rotation(env, rng, feats, batch["policy"], batch["actions"])
+        feats, policy_label, actions = _augment_rotation(
+            env, rng, feats, batch["policy"].astype(jnp.float32), batch["actions"])
         variables = {"params": params, "batch_stats": batch_stats}
         ls = batch["loss_scale"]
         value_label = prepare_value_label(batch["value"])  # [B, K+1(, V)]

@@ -102,34 +102,84 @@ class TrajectoryCollector:
         """Consume a stacked ``ScanMoves`` chunk ([M, B, ...]). The finish
         decisions (``resigned``: finalize WITHOUT recording the move;
         ``ended``: record then finalize) were made on device by ``move_scan``
-        — the collector replays them instead of re-deriving resign gating."""
-        action = np.asarray(sm.action)
-        turn = np.asarray(sm.turn)
-        policy = np.asarray(sm.policy_target)
-        value = np.asarray(sm.root_value)
-        reward = np.asarray(sm.reward)
-        features = np.asarray(sm.features)
+        — the collector replays them instead of re-deriving resign gating.
+
+        Per-move Python bookkeeping is the self-play host bottleneck (M x B
+        iterations ~ 244k appends per Go9 iteration), so the chunk arrays
+        are stored WHOLE and each slot tracks (chunk, start, end) segments;
+        a game's record materialises only at its finish event via numpy
+        slices across its segments."""
+        if not hasattr(self, "_chunks"):
+            self._chunks: dict = {}
+            self._next_cid = 0
+            self._segs: List[list] = [[] for _ in range(self.batch)]
+        cid = self._next_cid
+        self._next_cid += 1
+        chunk = {
+            "actions": np.asarray(sm.action),
+            "turns": np.asarray(sm.turn),
+            "policy": np.asarray(sm.policy_target).astype(np.float16),
+            "values": np.asarray(sm.root_value),
+            "rewards": np.asarray(sm.reward),
+            "features": np.asarray(sm.features),
+        }
+        self._chunks[cid] = chunk
         eval_score = np.asarray(sm.eval_score)
         resign_score = np.asarray(sm.resign_score)
         resigned = np.asarray(sm.resigned)
         ended = np.asarray(sm.ended)
+        n_moves = resigned.shape[0]
 
         finished: List[FinishedGame] = []
-        for m in range(action.shape[0]):
-            for i in range(self.batch):
-                if resigned[m, i]:
-                    finished.append(self._finalize(i, float(resign_score[m, i])))
-                    continue
-                slot = self._slots[i]
-                slot["actions"].append(int(action[m, i]))
-                slot["turns"].append(int(turn[m, i]))
-                slot["policy"].append(policy[m, i].astype(np.float16))
-                slot["values"].append(float(value[m, i]))
-                slot["rewards"].append(float(reward[m, i]))
-                slot["features"].append(features[m, i])
-                if ended[m, i]:
-                    finished.append(self._finalize(i, float(eval_score[m, i])))
+        start_m = np.zeros(self.batch, np.int64)
+        # argwhere is (m-major) sorted, so per slot events arrive in order
+        for m, i in np.argwhere(resigned | ended):
+            segs = self._segs[i]
+            if resigned[m, i]:
+                if m > start_m[i]:
+                    segs.append((cid, int(start_m[i]), int(m)))
+                result = float(resign_score[m, i])
+            else:
+                segs.append((cid, int(start_m[i]), int(m) + 1))
+                result = float(eval_score[m, i])
+            finished.append(self._finalize_segments(int(i), segs, result))
+            self._segs[i] = []
+            start_m[i] = m + 1
+        for i in range(self.batch):
+            if start_m[i] < n_moves:
+                self._segs[i].append((cid, int(start_m[i]), n_moves))
+        # drop chunks no active segment references
+        live = {s[0] for segs in self._segs for s in segs}
+        for k in [k for k in self._chunks if k not in live and k != cid]:
+            del self._chunks[k]
         return finished
+
+    def _finalize_segments(self, slot_idx: int, segs: list,
+                           result: float) -> FinishedGame:
+        """Assemble a GameRecord from (chunk, start, end) column slices."""
+
+        def cat(field, empty_shape, dtype):
+            parts = [self._chunks[c][field][m0:m1, slot_idx]
+                     for c, m0, m1 in segs]
+            if not parts:
+                return np.zeros(empty_shape, dtype)
+            return np.concatenate(parts) if len(parts) > 1 else np.array(parts[0])
+
+        a = self.spec.action_size
+        # feature planes may be bit-packed (utils/bitpack.py): take the
+        # stored chunk shape rather than the spec's logical channel count
+        any_chunk = next(iter(self._chunks.values()))
+        h, w, c = any_chunk["features"].shape[-3:]
+        record = GameRecord(
+            actions=cat("actions", (0,), np.int32).astype(np.int32),
+            policy=cat("policy", (0, a), np.float16),
+            values=cat("values", (0,), np.float32).astype(np.float32),
+            rewards=cat("rewards", (0,), np.float32).astype(np.float32),
+            features=cat("features", (0, h, w, c), np.uint8),
+            result=result,
+        )
+        players = tuple(int(t) for t in cat("turns", (0,), np.int32))
+        return FinishedGame(record=record, players=players, slot=slot_idx)
 
     def _finalize(self, slot_idx: int, result: float) -> FinishedGame:
         slot = self._slots[slot_idx]

@@ -40,6 +40,7 @@ from minizero_tpu.ops.tree_kernel_v2 import (
     unpack_trees,
 )
 from minizero_tpu.search import gumbel as gz
+from minizero_tpu.utils.bitpack import pack_planes
 from minizero_tpu.search import mcts
 from minizero_tpu.search.mcts import SearchSpec, Tree
 from minizero_tpu.utils.transforms import from_discrete_value
@@ -80,7 +81,8 @@ class MoveOutput(NamedTuple):
     root_value: jnp.ndarray  # f32[B] — V tag (root mean)
     reward: jnp.ndarray  # f32[B] — R tag (env reward after the move)
     resign: jnp.ndarray  # bool[B] — search proposes resignation
-    features: jnp.ndarray  # u8[B, H, W, C] — pre-move feature planes
+    features: jnp.ndarray  # u8[B, H, W, C'] — pre-move planes (bit-packed
+    # 8-per-byte for binary_features envs, utils/bitpack.py)
     states: Any  # stepped env states
     done: jnp.ndarray  # bool[B] — stepped state is terminal
     eval_score: jnp.ndarray  # f32[B] — eval score of stepped state
@@ -97,7 +99,7 @@ class ScanMoves(NamedTuple):
 
     action: jnp.ndarray  # i32[M, B]
     turn: jnp.ndarray  # i32[M, B]
-    policy_target: jnp.ndarray  # f32[M, B, A]
+    policy_target: jnp.ndarray  # f16[M, B, A] (record storage precision)
     root_value: jnp.ndarray  # f32[M, B]
     reward: jnp.ndarray  # f32[M, B]
     resign: jnp.ndarray  # bool[M, B] — raw search proposal
@@ -225,8 +227,14 @@ class SelfPlayEngine:
         batch = jax.tree_util.tree_leaves(states)[0].shape[0]
         turns = jax.vmap(env.turn)(states)
         feats = jax.vmap(env.features)(states)
-        features_u8 = jnp.clip(feats * 255.0, 0, 255).astype(jnp.uint8) if env.spec.name.startswith("atari") \
-            else feats.astype(jnp.uint8)
+        if env.spec.name.startswith("atari"):
+            features_u8 = jnp.clip(feats * 255.0, 0, 255).astype(jnp.uint8)
+        elif env.spec.binary_features:
+            # 8 planes per byte: the record stream's feature planes dominate
+            # device->host transfer (utils/bitpack.py); training unpacks
+            features_u8 = pack_planes(feats)
+        else:
+            features_u8 = feats.astype(jnp.uint8)
         legal = jax.vmap(env.legal_mask)(states)
 
         rng, k_rot, k_noise = jax.random.split(rng, 3)
@@ -747,7 +755,10 @@ class SelfPlayEngine:
             new_enable = jnp.where(reset, fresh_enable, enable)
             new_msr = jnp.where(reset, 0, msr + 1)
             emit = ScanMoves(
-                action=out.action, turn=out.turn, policy_target=out.policy_target,
+                action=out.action, turn=out.turn,
+                # records store policy targets as f16 anyway — transfer f16
+                # (halves the second-largest device->host stream)
+                policy_target=out.policy_target.astype(jnp.float16),
                 root_value=out.root_value, reward=out.reward, resign=out.resign,
                 features=out.features, done=out.done, eval_score=out.eval_score,
                 resign_score=out.resign_score, resigned=resigned, ended=ended,

@@ -135,7 +135,36 @@ class ZeroLoop:
         else:
             self.sharded = None
             self._train_step = jax.jit(make_train_step(cfg, self.env, self.network), donate_argnums=0)
-        self._feat_cast = jax.jit(lambda x: x.astype(jnp.float32))
+            # chunked optimizer: lax.scan K steps per device call. One
+            # dispatch per step costs a full host<->device round trip
+            # (~0.17 s over the tunnel -> 90 s per 500-step iteration for
+            # ~4 s of device work); the scan brings it to K-per-dispatch.
+            step_fn = make_train_step(cfg, self.env, self.network)
+
+            def train_chunk(state, batches, rng):
+                def body(carry, batch):
+                    state, rng = carry
+                    rng, k = jax.random.split(rng)
+                    state, metrics = step_fn(state, batch, k)
+                    return (state, rng), metrics
+
+                (state, _), metrics = jax.lax.scan(body, (state, rng), batches)
+                return state, metrics  # metrics stacked [K] (+ per-sample rows)
+
+            self._train_chunk = jax.jit(train_chunk, donate_argnums=0)
+        # u8 -> f32 cast and (for bit-packed board planes) unpack run as a
+        # separate jit: a u8 convert inside the conv-grad graph trips an
+        # XLA:TPU space-to-batch crash, and transfers stay packed
+        n_ch = self.env.spec.num_input_channels
+
+        def _cast(x):
+            if x.shape[-1] != n_ch:
+                from minizero_tpu.utils.bitpack import unpack_planes
+
+                return unpack_planes(x, n_ch)
+            return x.astype(jnp.float32)
+
+        self._feat_cast = jax.jit(_cast)
         self.np_rng = np.random.RandomState(cfg.program_seed + 1)
         self.is_muzero = cfg.nn_type_name.lower() != "alphazero"
         suffix = "" if self.is_main else f".p{self.pid}"
@@ -194,6 +223,7 @@ class ZeroLoop:
         scan_moves = max(1, int(cfg.zero_moves_per_dispatch))
         enable = jnp.asarray(collector.enable_resign_flags())
         msr = None
+        pending = None
         with open(record_path, "a") as record_file:
             while num_games < games_target:
                 self.rng, k = jax.random.split(self.rng)
@@ -201,7 +231,14 @@ class ZeroLoop:
                     k = jax.random.fold_in(k, self.pid)
                 stacked, states, enable, msr = sp.move_scan(
                     variables, states, k, temperature, scan_moves, enable, msr)
-                finished = collector.add_scan(stacked)
+                # process the PREVIOUS chunk while the device runs this one:
+                # jax dispatch is async, so the chunk's device->host transfer
+                # and record assembly overlap the next scan's compute
+                if pending is None:
+                    pending = stacked
+                    continue
+                finished = collector.add_scan(pending)
+                pending = stacked
                 for fg in finished:
                     if num_games >= games_target:
                         # exact cutoff like the reference server, which stops
@@ -352,8 +389,75 @@ class ZeroLoop:
     def optimize_iteration(self, iteration: int) -> Dict[str, float]:
         cfg = self.cfg
         self.buffer.per_beta = per_beta_for_iteration(cfg, iteration)
-        totals: Dict[str, float] = {}
         t0 = time.time()
+        if self.mesh is None:
+            self._optimize_chunked(iteration)
+        else:
+            self._optimize_stepwise(iteration)
+        dt = time.time() - t0
+        self.log(f"[Optimization] iteration {iteration}: {cfg.learner_training_step} steps in {dt:.1f}s")
+        self.log(f"Optimization_Done {int(self.state.step)}")
+        return {"time_s": dt}
+
+    def _optimize_chunked(self, iteration: int) -> None:
+        """Single-host optimizer: ``lax.scan`` K steps per device dispatch.
+
+        Sampling (host, numpy) for the whole chunk happens up front, so with
+        PER the priorities used for sampling lag the refresh by < K steps —
+        a bounded deviation from the reference's per-step refresh
+        (train.py:208-209); K shrinks to the display period when PER is on.
+        """
+        cfg = self.cfg
+        totals: Dict[str, float] = {}
+        shown = 0
+        bs = cfg.learner_batch_size
+        chunk = max(1, min(cfg.learner_training_display_step,
+                           20 if cfg.learner_use_per else 100))
+        done = 0
+        while done < cfg.learner_training_step:
+            k_steps = min(chunk, cfg.learner_training_step - done)
+            batches = []
+            indices = []
+            for _ in range(k_steps):
+                if self.is_muzero:
+                    b = self.buffer.sample_muzero(bs, self.np_rng)
+                else:
+                    b = self.buffer.sample_alphazero(bs, self.np_rng)
+                indices.append(b.pop("sampled_index"))
+                batches.append(b)
+            stacked = {
+                key: jnp.asarray(np.stack([b[key] for b in batches]))
+                for key in batches[0]
+            }
+            stacked["features"] = self._feat_cast(stacked["features"])
+            self.rng, k = jax.random.split(self.rng)
+            self.state, metrics = self._train_chunk(self.state, stacked, k)
+            if cfg.learner_use_per and "_new_values" in metrics:
+                new_values = np.asarray(metrics.pop("_new_values"))  # [K, B]
+                for i, sampled_index in enumerate(indices):
+                    pri = np.empty(len(sampled_index), np.float32)
+                    for j, (g, p) in enumerate(sampled_index):
+                        rec = self.buffer.games[g]
+                        pri[j] = abs(self.buffer.value_target(rec, int(p))
+                                     - float(new_values[i, j])) + 1e-6
+                    self.buffer.update_priority(sampled_index, pri)
+            metrics.pop("_new_values", None)
+            sums = {key: np.asarray(val) for key, val in metrics.items()}
+            done += k_steps
+            for key, val in sums.items():
+                totals[key] = totals.get(key, 0.0) + float(val.sum())
+            if done - shown >= cfg.learner_training_display_step:
+                avg = {k2: v / (done - shown) for k2, v in totals.items()}
+                self.op_log(
+                    f"nn step {int(self.state.step)}, lr: {cfg.learner_learning_rate}. "
+                    + " ".join(f"{k2}: {v:.5f}" for k2, v in sorted(avg.items()))
+                )
+                totals = {}
+                shown = done
+
+    def _optimize_stepwise(self, iteration: int) -> None:
+        cfg = self.cfg
+        totals: Dict[str, float] = {}
         # multi-host: every host contributes its shard of the global batch
         # (sampled from its local buffer); the global array assembles them
         local_bs = cfg.learner_batch_size // self.num_procs
@@ -405,10 +509,6 @@ class ZeroLoop:
                     + " ".join(f"{k}: {v:.5f}" for k, v in sorted(avg.items()))
                 )
                 totals = {}
-        dt = time.time() - t0
-        self.log(f"[Optimization] iteration {iteration}: {cfg.learner_training_step} steps in {dt:.1f}s")
-        self.log(f"Optimization_Done {int(self.state.step)}")
-        return {"time_s": dt}
 
     # ------------------------------------------------------------ checkpoint
     def save_checkpoint(self) -> str:
@@ -451,10 +551,17 @@ class ZeroLoop:
         for a in actions:
             feats.append(np.asarray(feat(state), np.uint8))
             state = step(state, jnp.int32(int(a)))
+        spec = env.spec
         if not feats:
-            spec = env.spec
-            return np.zeros((0, spec.input_height, spec.input_width, spec.num_input_channels), np.uint8)
-        return np.stack(feats)
+            out = np.zeros((0, spec.input_height, spec.input_width,
+                            spec.num_input_channels), np.uint8)
+        else:
+            out = np.stack(feats)
+        if spec.binary_features:
+            from minizero_tpu.utils.bitpack import pack_planes_np
+
+            out = pack_planes_np(out)
+        return out
 
     def resume(self) -> int:
         """Continue mode (reference zero-server.sh:116-128): load the latest

@@ -41,7 +41,11 @@ def test_move_invariants():
     assert (np.count_nonzero(boards, axis=1) == 1).all()
     assert not np.asarray(out.done).any()
     feats = np.asarray(out.features)
-    assert feats.shape == (4, 3, 3, 4) and feats.max() <= 1
+    # feature planes travel bit-packed (utils/bitpack.py): 4 planes -> 1 byte
+    assert feats.shape == (4, 3, 3, 1)
+    from minizero_tpu.utils.bitpack import unpack_planes
+    unpacked = np.asarray(unpack_planes(feats, 4))
+    assert unpacked.shape == (4, 3, 3, 4) and unpacked.max() <= 1
 
 
 def test_finds_immediate_win():

@@ -127,7 +127,8 @@ def test_zero_loop_resume(tmp_path):
     assert int(loop2.state.step) == 2
     assert len(loop2.buffer) == 4
     rec = loop2.buffer.games[0]
-    assert rec.features.shape[1:] == (3, 3, 4)
+    # rebuilt features are bit-packed (utils/bitpack.py): 4 planes -> 1 byte
+    assert rec.features.shape[1:] == (3, 3, 1)
     assert rec.features.any()  # replayed, not zero-filled
     loop2.run()
     assert int(loop2.state.step) == 4

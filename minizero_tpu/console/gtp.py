@@ -48,9 +48,25 @@ def gtp_to_action(coord: str, board_size: int) -> int:
     return y * board_size + x
 
 
+def env_action_to_string(env, action_id: int) -> str:
+    """Env-specific move string when the env defines one (e.g.
+    dotsandboxes "A1A2" line coords), else plain board coordinates."""
+    if hasattr(env, "action_to_string"):
+        return env.action_to_string(action_id)
+    return action_to_gtp(action_id, env.spec.board_size, env.spec.has_pass)
+
+
+def env_string_to_action(env, coord: str) -> int:
+    if hasattr(env, "string_to_action"):
+        return env.string_to_action(coord)
+    return gtp_to_action(coord, env.spec.board_size)
+
+
 def render_board(env, state) -> str:
     """Generic text board for stone-board envs (reference per-env
     toString)."""
+    if hasattr(env, "render"):
+        return env.render(state)
     board = getattr(state, "board", None)
     if board is None:
         return repr(jax.tree_util.tree_map(np.asarray, state))
@@ -218,7 +234,7 @@ class GTPConsole:
         if len(args) < 3:
             return self.fail("play requires: play <color> <move>")
         actor = self._ensure_actor()
-        action = gtp_to_action(args[2], actor.env.spec.board_size)
+        action = env_string_to_action(actor.env, args[2])
         if not actor.act(action) and not actor.is_terminal():
             return self.fail(f'Invalid action: "{args[2]}"')
         self.success()
@@ -239,7 +255,7 @@ class GTPConsole:
         print(f"Spent Time = {time.time() - t0:.3f} (s)", file=sys.stderr)
         if actor.last_resign:
             return self.success("Resign")
-        self.success(action_to_gtp(action, actor.env.spec.board_size, actor.env.spec.has_pass))
+        self.success(env_action_to_string(actor.env, action))
 
     def cmd_final_score(self, args):
         self.success(str(self._ensure_actor().eval_score()))
@@ -251,7 +267,7 @@ class GTPConsole:
         n = actor.env.spec.board_size
         entries = sorted(
             (
-                (action_to_gtp(a, n, actor.env.spec.has_pass), float(policy[a]))
+                (env_action_to_string(actor.env, a), float(policy[a]))
                 for a in np.nonzero(mask)[0]
             ),
             key=lambda kv: -kv[1],
@@ -273,7 +289,7 @@ class GTPConsole:
         mask = actor.legal_mask()
         n = actor.env.spec.board_size
         parts = [
-            f"{action_to_gtp(a, n, actor.env.spec.has_pass)} {policy[a] * 100:.1f}"
+            f"{env_action_to_string(actor.env, a)} {policy[a] * 100:.1f}"
             for a in np.nonzero(mask)[0]
         ]
         self.success(f"\n[value] {value}\n" + " ".join(parts))

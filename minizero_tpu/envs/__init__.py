@@ -195,6 +195,14 @@ _TABLE: Dict[str, Tuple[str, str, Callable[..., Dict[str, Any]], Dict[str, Any]]
             "nn_type_name": "muzero",
         },
     ),
+    "dotsandboxes": (
+        "minizero_tpu.envs.dotsandboxes",
+        "DotsAndBoxesEnv",
+        lambda cfg: {"board_size": cfg.env_board_size or 9},
+        # setUpEnv: board 9 (dotsandboxes.h:77); AlphaZero-only like the
+        # reference (getActionFeatures throws, dotsandboxes.cpp:327-330)
+        {"env_board_size": 9},
+    ),
 }
 
 

@@ -19,6 +19,7 @@ from minizero_tpu.envs import available_envs, make_env
 _SMALL_BOARDS = {
     "go": 5, "nogo": 5, "gomoku": 7, "hex": 5, "connect6": 9, "havannah": 5,
     "clobber": 6, "breakthrough": 6, "amazons": 6, "othello": 6, "killallgo": 7,
+    "dotsandboxes": 3,
 }
 
 

@@ -110,6 +110,7 @@ class ZeroLoop:
         else:
             self.engine = SelfPlayEngine(self.env, cfg, self.network)
         self.buffer = ReplayBuffer(cfg, self.env.spec)
+        self._replay_scan = None  # lazy cpu-backend record replayer (resume)
         if mesh is not None:
             # multi-device: self-play batch + train batch shard over dp,
             # weights replicate, gradients all-reduce over ICI
@@ -224,21 +225,32 @@ class ZeroLoop:
         enable = jnp.asarray(collector.enable_resign_flags())
         msr = None
         pending = None
+        # per-phase wall attribution, logged as [SelfPlay Timing] (the
+        # reference logs only phase totals; TPU runs need to see whether an
+        # iteration is device-, transfer-, or host-bound)
+        t_dispatch = t_collect = t_host = 0.0
+        chunks = 0
         with open(record_path, "a") as record_file:
             while num_games < games_target:
                 self.rng, k = jax.random.split(self.rng)
                 if self.num_procs > 1:
                     k = jax.random.fold_in(k, self.pid)
+                tp = time.time()
                 stacked, states, enable, msr = sp.move_scan(
                     variables, states, k, temperature, scan_moves, enable, msr)
+                t_dispatch += time.time() - tp
+                chunks += 1
                 # process the PREVIOUS chunk while the device runs this one:
                 # jax dispatch is async, so the chunk's device->host transfer
                 # and record assembly overlap the next scan's compute
                 if pending is None:
                     pending = stacked
                     continue
+                tp = time.time()
                 finished = collector.add_scan(pending)
+                t_collect += time.time() - tp
                 pending = stacked
+                tp = time.time()
                 for fg in finished:
                     if num_games >= games_target:
                         # exact cutoff like the reference server, which stops
@@ -256,6 +268,12 @@ class ZeroLoop:
                     lengths.append(fg.record.length)
                     returns.append(fg.record.result)
                     num_games += 1
+                t_host += time.time() - tp
+        self.log(
+            f"[SelfPlay Timing] chunks: {chunks} x {scan_moves} moves, "
+            f"dispatch: {t_dispatch:.1f}s, collect: {t_collect:.1f}s, "
+            f"records: {t_host:.1f}s"
+        )
         return self._selfplay_stats(iteration, num_games, lengths, returns, time.time() - t0)
 
     def _selfplay_stats(self, iteration, num_games, lengths, returns, dt) -> Dict[str, float]:
@@ -543,25 +561,64 @@ class ZeroLoop:
         """Replay actions to regenerate per-position feature planes (the
         records store targets only; reference rebuilds its buffer by
         re-parsing sgf files, train.py:40-48)."""
-        env = self.env
-        state = env.init()
-        feats = []
-        step = jax.jit(env.step)
-        feat = jax.jit(env.features)
-        for a in actions:
-            feats.append(np.asarray(feat(state), np.uint8))
-            state = step(state, jnp.int32(int(a)))
-        spec = env.spec
-        if not feats:
-            out = np.zeros((0, spec.input_height, spec.input_width,
-                            spec.num_input_channels), np.uint8)
+        return self._rebuild_features_batch([np.asarray(actions)])[0]
+
+    def _rebuild_features_batch(self, action_lists) -> list:
+        """Batched replay on the HOST CPU backend: pad the games to one
+        length and scan a vmapped env.step over all of them at once.
+
+        Per-move b=1 jit calls would each cost a device round trip — over
+        the axon tunnel a 46k-game resume window became millions of RTTs —
+        so the replay is (a) vectorised across games and (b) pinned to the
+        local cpu backend, where a one-off rebuild belongs."""
+        spec = self.env.spec
+        empty = np.zeros((0, spec.input_height, spec.input_width,
+                          spec.num_input_channels), np.uint8)
+        lens = [len(a) for a in action_lists]
+        max_len = max(lens) if lens else 0
+        if max_len == 0:
+            outs = [empty for _ in action_lists]
         else:
-            out = np.stack(feats)
+            env = self.env
+            b = len(action_lists)
+            # static shapes: pad rows to a bucket and moves to the game cap
+            # so jit compiles once, not per call
+            bucket = 1
+            while bucket < b:
+                bucket *= 2
+            max_len = max(max_len, spec.max_game_length)
+            acts = np.zeros((bucket, max_len), np.int32)
+            for i, a in enumerate(action_lists):
+                # pad with action 0; env.step is well-shape-safe on illegal
+                # or terminal states (envs/base.py) and padded moves are
+                # sliced off below
+                acts[i, : len(a)] = np.asarray(a, np.int32)
+
+            if self._replay_scan is None:
+                def replay(actions):  # i32[B, L] -> u8[L, B, H, W, C]
+                    def body(state, a):
+                        f = jax.vmap(env.features)(state)
+                        return jax.vmap(env.step)(state, a), f.astype(jnp.uint8)
+
+                    s0 = jax.vmap(lambda _: env.init())(jnp.zeros((actions.shape[0],)))
+                    _, feats = jax.lax.scan(body, s0, actions.T)
+                    return feats
+
+                jitted = jax.jit(replay)
+                cpu = jax.devices("cpu")[0]
+
+                def run_on_cpu(a):
+                    with jax.default_device(cpu):
+                        return jitted(jax.device_put(a, cpu))
+
+                self._replay_scan = run_on_cpu
+            feats = np.asarray(self._replay_scan(acts))  # [L, B, H, W, C]
+            outs = [feats[: lens[i], i] for i in range(b)]
         if spec.binary_features:
             from minizero_tpu.utils.bitpack import pack_planes_np
 
-            out = pack_planes_np(out)
-        return out
+            outs = [pack_planes_np(o) if o.size else o for o in outs]
+        return outs
 
     def resume(self) -> int:
         """Continue mode (reference zero-server.sh:116-128): load the latest
@@ -583,6 +640,19 @@ class ZeroLoop:
         lo = max(1, start_iter - self.cfg.zero_replay_buffer + 1)
         loaded = 0
         shard = "" if self.is_main else f".p{self.pid}"
+        pending_recs = []  # device-env records awaiting batched feature replay
+
+        def flush_pending():
+            nonlocal loaded
+            if not pending_recs:
+                return
+            feats = self._rebuild_features_batch([r.actions for r in pending_recs])
+            for rec, f in zip(pending_recs, feats):
+                rec.features = f
+                self.buffer.add_game(rec)
+                loaded += 1
+            pending_recs.clear()
+
         for it in range(lo, start_iter + 1):
             path = os.path.join(sgf_dir, f"{it}{shard}.sgf")
             if not os.path.exists(path):
@@ -606,12 +676,14 @@ class ZeroLoop:
                     )
                     if "LL" in tags:
                         rec.lives_lost = np.asarray([c == "1" for c in tags["LL"]], bool)
+                    self.buffer.add_game(rec)
+                    loaded += 1
                 else:
-                    _, rec = game_record_from_string(
-                        line, self.env.spec.action_size, feature_builder=self._rebuild_features
-                    )
-                self.buffer.add_game(rec)
-                loaded += 1
+                    _, rec = game_record_from_string(line, self.env.spec.action_size)
+                    pending_recs.append(rec)
+                    if len(pending_recs) >= 256:
+                        flush_pending()
+        flush_pending()
         self.cfg = self.cfg.replace(zero_start_iteration=start_iter)
         self.log(f"[Resume] iteration {start_iter}, {loaded} games reloaded")
         return start_iter

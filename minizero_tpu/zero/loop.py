@@ -8,8 +8,8 @@ engine and the trainer share the device, so the per-iteration state machine
     for iteration: self-play 2000 games -> train 500 steps -> checkpoint
 
 becomes a plain in-process loop with the same iteration semantics: per-game
-resign disabling, temperature decay schedule (1 / 0.5 / 0.25 over iteration
-thirds, ``zero_server.cpp:301-323``), PER beta annealing, replay window of
+resign disabling, temperature decay schedule (1 / 0.5 / 0.25 at 50% / 75% of
+total iterations, ``zero_server.cpp:301-323``), PER beta annealing, replay window of
 ``zero_replay_buffer`` iterations, record files per iteration, and
 ``Training.log`` / ``op.log`` lines shaped like the reference's so the
 analysis tooling ports over.

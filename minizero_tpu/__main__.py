@@ -12,6 +12,7 @@ record round-trip self-check), ``zero_training_name`` (canonical run name),
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -199,6 +200,11 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
 
     cfg = build_config(args)
+    if cfg.program_quiet:
+        # silence diagnostic output like the reference's cerr redirect
+        # (console/mode_handler.cpp:61, utils/ostream_redirector.h); GTP
+        # replies and mode outputs stay on stdout.
+        sys.stderr = open(os.devnull, "w")
     if args.gen:
         cfg.save_file(args.gen)
         print(f"wrote {args.gen}")

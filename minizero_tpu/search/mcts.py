@@ -546,8 +546,14 @@ def root_children_q(spec: SearchSpec, tree: Tree) -> jnp.ndarray:
 
 
 def select_action_by_max_count(tree: Tree) -> jnp.ndarray:
-    """reference MCTS::selectChildByMaxCount (mcts.cpp:91-104)."""
-    return jnp.argmax(root_children_visits(tree)).astype(jnp.int32)
+    """reference MCTS::selectChildByMaxCount (mcts.cpp:91-104).
+
+    Count ties resolve to the higher-prior action: the reference keeps the
+    FIRST max in child order, and children are sorted by descending policy
+    at expansion (zero_actor.cpp:225-228) — so first == highest policy.
+    (The reference's std::sort is unstable, so order among exact policy
+    ties is implementation-defined; we use lowest action id.)"""
+    return _argmax_with_prior_tiebreak(root_children_visits(tree), tree.prior[0])
 
 
 def select_action_by_softmax_count(

@@ -1,0 +1,196 @@
+"""Fixed-seed search/trajectory parity vs the REAL reference binary.
+
+``refbench/parity_dump.cpp`` drives the reference's own ZeroActor +
+MCTS/GumbelZero + Go/TicTacToe env classes (compiled unmodified from
+/root/reference) through deterministic games — noise off, rotation off,
+argmax-count select, fixed pseudo-random openings — evaluating the
+integer-exact parity network (tests/parity_common.py). The committed
+dumps in ``refbench/parity/*.jsonl`` record per move: the feature
+checksum, root visit-count distribution (action:count:mean), chosen
+action, root count/mean/value, and the training policy-target string
+(MCTS::getSearchDistributionString / GumbelZero::getMCTSPolicy).
+
+This test replays the SAME games on the TPU-native engine
+(SelfPlayEngine + fused tree kernels, interpreted on CPU) and compares:
+
+  * feature checksums           — exact (env feature parity)
+  * opening legal-move counts   — exact (legal-move parity)
+  * root visit counts           — exact per action
+  * chosen actions              — exact
+  * root mean / raw root value  — 1e-4 / 1e-5
+  * policy targets              — normalized, 2e-4 (az) / 2e-3 (gumbel,
+    the reference string drops entries below exp(-38) and rounds to 6
+    significant digits)
+  * game termination + score    — exact (TicTacToe plays to the end)
+
+Max observed deviations are recorded in docs/Parity.md.
+
+Regenerate dumps: refbench/build_parity.sh && see refbench/parity/GENERATE.md.
+"""
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from parity_common import feature_checksum, jax_parity_network, opening_actions  # noqa: E402
+
+from minizero_tpu.config import default_config
+from minizero_tpu.envs import make_env
+from minizero_tpu.search import gumbel as gz
+from minizero_tpu.search import mcts
+from minizero_tpu.selfplay.engine import SelfPlayEngine
+
+PARITY_DIR = os.path.join(os.path.dirname(__file__), "..", "refbench", "parity")
+
+# (dump file, game, conf_str) — conf mirrors parity_dump.cpp's base conf +
+# the per-dump extras used in refbench/parity/GENERATE.md
+COMMON_CONF = (
+    "actor_use_random_rotation_features=false:"
+    "actor_use_dirichlet_noise=false:"
+    "actor_use_gumbel_noise=false:"
+    "actor_select_action_by_softmax_count=false:"
+    "actor_select_action_by_count=true"
+)
+CASES = [
+    ("go9_az16.jsonl", "go", "env_board_size=9:actor_num_simulation=16:actor_use_gumbel=false"),
+    ("go9_az50.jsonl", "go", "env_board_size=9:actor_num_simulation=50:actor_use_gumbel=false"),
+    ("go9_gaz16.jsonl", "go",
+     "env_board_size=9:actor_num_simulation=16:actor_use_gumbel=true:actor_gumbel_sample_size=16"),
+    ("ttt_az16.jsonl", "tictactoe", "actor_num_simulation=16:actor_use_gumbel=false"),
+    ("ttt_gaz16.jsonl", "tictactoe",
+     "actor_num_simulation=16:actor_use_gumbel=true:actor_gumbel_sample_size=4"),
+]
+
+
+def load_dump(path):
+    games = {}
+    with open(path) as f:
+        for line in f:
+            rec = json.loads(line)
+            g = games.setdefault(rec["game"], {"opening": [], "moves": [], "end": None})
+            if rec["type"] == "opening":
+                g["opening"].append(rec)
+            elif rec["type"] == "move":
+                g["moves"].append(rec)
+            else:
+                g["end"] = rec
+    return games
+
+
+def parse_counts(s):
+    out = {}
+    if s:
+        for part in s.split(","):
+            aid, cnt, mean = part.split(":")
+            out[int(aid)] = (float(cnt), float(mean))
+    return out
+
+
+def parse_policy(s):
+    out = {}
+    if s:
+        for part in s.split(","):
+            aid, p = part.split(":")
+            out[int(aid)] = float(p)
+    return out
+
+
+def my_feature_checksum(env, state):
+    f = np.asarray(env.features(state))  # [H, W, C]
+    return feature_checksum(np.transpose(f, (2, 0, 1)) != 0)
+
+
+@pytest.mark.parametrize("dump,game,conf", CASES, ids=[c[0] for c in CASES])
+def test_reference_parity(dump, game, conf):
+    path = os.path.join(PARITY_DIR, dump)
+    games = load_dump(path)
+    cfg = default_config(game).load_string(COMMON_CONF + ":" + conf)
+    env = make_env(cfg)
+    net, variables = jax_parity_network(game)
+    engine = SelfPlayEngine(env, cfg, net, use_bf16=False)
+    spec = engine.spec
+
+    step_fn = jax.jit(env.step)
+    feats_fn = jax.jit(env.features)
+    legal_fn = jax.jit(env.legal_mask)
+    terminal_fn = jax.jit(env.is_terminal)
+    score_fn = jax.jit(env.eval_score)
+    if spec.use_gumbel:
+        decide_fn = jax.jit(lambda t: (jax.vmap(lambda tt: gz.decide_action(spec, tt))(t),
+                                       jax.vmap(lambda tt: gz.improved_policy_target(spec, tt))(t)))
+    else:
+        decide_fn = jax.jit(lambda t: (jax.vmap(mcts.select_action_by_max_count)(t),
+                                       jax.vmap(lambda tt: mcts.mcts_policy_target(tt))(t)))
+
+    rng = jax.random.PRNGKey(0)
+    max_dev = {"root_mean": 0.0, "root_value": 0.0, "policy": 0.0}
+
+    for g, rec in sorted(games.items()):
+        # --- opening (twin of parity_dump.cpp's LCG openings)
+        state = env.init_random(jax.random.PRNGKey(g))
+        draws = opening_actions(g, len(rec["opening"]))
+        for j, op in enumerate(rec["opening"]):
+            legal = np.nonzero(np.asarray(legal_fn(state)))[0]
+            assert len(legal) == op["n_legal"], f"g{g} opening{j}: legal count"
+            pick = int(legal[draws[j] % len(legal)])
+            assert pick == op["action"], f"g{g} opening{j}: action"
+            state = step_fn(state, jnp.int32(pick))
+
+        # --- search moves
+        for m, mv in enumerate(rec["moves"]):
+            assert not bool(terminal_fn(state)), f"g{g} m{m}: terminated early"
+            fsum = my_feature_checksum(env, state)
+            assert fsum == mv["fsum"], f"g{g} m{m}: feature checksum {fsum} != {mv['fsum']}"
+
+            batch = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], state)
+            trees = engine.search_trees(variables, batch, rng)
+            action_b, target_b = decide_fn(trees)
+            action = int(action_b[0])
+            visits = np.asarray(jax.vmap(mcts.root_children_visits)(trees))[0]
+            cidx = np.asarray(trees.children_index)[0, 0]
+            means = np.asarray(trees.mean)[0]
+            root_mean = float(np.asarray(trees.mean)[0, 0])
+            root_value = float(np.asarray(trees.value)[0, 0])
+
+            ref_counts = parse_counts(mv["counts"])
+            mine = {a: int(visits[a]) for a in range(len(visits)) if visits[a] > 0}
+            theirs = {a: int(c) for a, (c, _) in ref_counts.items()}
+            assert mine == theirs, (
+                f"g{g} m{m}: visit counts differ\n mine={mine}\n ref ={theirs}")
+            for a, (_, ref_mean) in ref_counts.items():
+                my_mean = float(means[cidx[a]])
+                assert abs(my_mean - ref_mean) < 2e-4, f"g{g} m{m} a{a}: child mean"
+
+            assert action == mv["action"], f"g{g} m{m}: action {action} != {mv['action']}"
+            max_dev["root_mean"] = max(max_dev["root_mean"], abs(root_mean - mv["root_mean"]))
+            max_dev["root_value"] = max(max_dev["root_value"], abs(root_value - mv["root_value"]))
+            assert abs(root_mean - mv["root_mean"]) < 1e-4
+            assert abs(root_value - mv["root_value"]) < 1e-5
+
+            # policy target: reference string, normalized over its support
+            ref_pol = parse_policy(mv["policy"])
+            zsum = sum(ref_pol.values())
+            my_target = np.asarray(target_b)[0]
+            tol = 2e-3 if spec.use_gumbel else 2e-4
+            for a, p in ref_pol.items():
+                d = abs(my_target[a] - p / zsum)
+                max_dev["policy"] = max(max_dev["policy"], d)
+                assert d < tol, f"g{g} m{m} a{a}: policy target {my_target[a]} vs {p / zsum}"
+
+            state = step_fn(state, jnp.int32(action))
+
+        # --- game end parity
+        end = rec["end"]
+        term = bool(terminal_fn(state))
+        assert term == end["terminal"], f"g{g}: terminal mismatch"
+        if term:
+            assert float(score_fn(state)) == pytest.approx(end["eval_score"], abs=1e-6), (
+                f"g{g}: eval score")
+
+    # deviations stay well inside the float32-softmax ulp budget
+    assert max_dev["root_mean"] < 1e-4 and max_dev["policy"] < 2e-3

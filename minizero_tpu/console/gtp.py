@@ -117,6 +117,9 @@ class ConsoleActor:
         return True
 
     def think(self, play: bool = True):
+        limit = float(self.cfg.actor_mcts_think_time_limit)
+        if limit > 0 and self.engine.supports_timed_search():
+            return self._think_timed(limit, play)
         self.rng, k = jax.random.split(self.rng)
         out = self.engine.move(self.variables, self.states, k,
                                self.cfg.actor_select_action_softmax_temperature)
@@ -126,6 +129,36 @@ class ConsoleActor:
             self.states = out.states
             self.actions.append(action)
         return action, out
+
+    def _think_timed(self, limit: float, play: bool):
+        """Wall-clock-capped think (reference ZeroActor::think,
+        zero_actor.cpp:36-49): run the search in chunks of simulations,
+        check the clock between chunks, decide from the partial tree."""
+        import time
+
+        t0 = time.monotonic()
+        n = self.cfg.actor_num_simulation
+        chunk = max(1, n // 8)
+        self.rng, k = jax.random.split(self.rng)
+        carry = self.engine.az_init_timed(self.variables, self.states, k)
+        done = 0
+        while done < n:
+            hi = min(done + chunk, n)
+            carry = self.engine.az_advance_timed(
+                self.variables, carry, done + 1, hi + 1)
+            jax.block_until_ready(carry[0].visits)
+            done = hi
+            if time.monotonic() - t0 >= limit:
+                break
+        action_b, _, _, resign_b, _ = self.engine.az_finish_timed(
+            carry, self.cfg.actor_select_action_softmax_temperature)
+        action = int(action_b[0])
+        self.last_resign = bool(resign_b[0])
+        if play and not self.last_resign:
+            self.states = jax.vmap(self.env.step)(
+                self.states, jnp.asarray([action], jnp.int32))
+            self.actions.append(action)
+        return action, None
 
     def policy_value(self):
         """Direct net probe (reference calculatePolicyValue,
@@ -370,8 +403,6 @@ class GTPConsole:
         from minizero_tpu.search.mcts import tree_string
 
         actor = self._ensure_actor()
-        if actor.engine.is_muzero:
-            return self.fail("tree_string is AlphaZero-only")
         actor.rng, k = _jax.random.split(actor.rng)
         trees = actor.engine.search_trees(actor.variables, actor.states, k)
         tree = _jax.tree_util.tree_map(lambda x: x[0], trees)

@@ -127,9 +127,11 @@ class SelfPlayEngine:
         self.is_muzero = not isinstance(network, AlphaZeroNetwork)
         # intra-tree leaf batching with virtual loss — console/eval only,
         # like the reference ("only works when running console",
-        # configuration.cpp actor_mcts_think_batch_size). AlphaZero path
-        # only for now; the MuZero device search runs one leaf per forward.
-        think_batch = cfg.actor_mcts_think_batch_size if (use_think_batch and not self.is_muzero) else 1
+        # configuration.cpp actor_mcts_think_batch_size). Both algorithms
+        # (reference ZeroActor::step applies to az AND mz,
+        # zero_actor.cpp:129-157): AlphaZero via think_batch_round below,
+        # MuZero via muzero_search._think_batch_rounds.
+        think_batch = cfg.actor_mcts_think_batch_size if use_think_batch else 1
         self.spec = search_spec_from_config(cfg, env.spec, eval_mode=eval_mode,
                                             think_batch=think_batch)
         self.use_rotation = (
@@ -287,20 +289,18 @@ class SelfPlayEngine:
         # zero_actor.cpp:178-192)
         return self._decide(trees, k_sel, temperature)
 
-    def _alphazero_trees(self, variables, states, feats, legal, turns, rng, k_rot, k_noise):
-        """AlphaZero search returning the finished trees: env states ride
-        inside the tree as node embeddings, leaves are stepped envs evaluated
-        on their true features (the TPU replacement for the reference's
-        env-replay-to-leaf, zero_actor.cpp:247-252)."""
-        env, spec = self.env, self.spec
+    def _az_root_trees(self, variables, states, feats, legal, turns, k_rot, k_noise, v2):
+        """Root eval + tree init + root expansion/backup/noise (the pre-loop
+        segment of every AlphaZero search; reference root handling in
+        ZeroActor::afterNNEvaluation + addNoiseToNodeChildren)."""
+        spec = self.spec
         batch = feats.shape[0]
-
         policy, logits, value = self._forward_features(
             variables, feats, jax.random.split(k_rot, batch)
         )
         root_embedding = states
 
-        if self.use_tree_kernel_v2:
+        if v2:
             # v2 keeps env states in a packed blob outside the tree; skip the
             # [B, N, state] embedding allocation entirely
             proto = jnp.zeros((1,), jnp.int8)
@@ -313,7 +313,7 @@ class SelfPlayEngine:
         trees = jax.vmap(
             functools.partial(mcts.expand_node, spec, store_embedding=False)
         )(trees, zeros_i, no_parent, zeros_i, turns, policy, logits, legal, falses)
-        if not self.use_tree_kernel_v2:
+        if not v2:
             # root embedding lives at slot 0 for every game: static-index store
             trees = trees.replace(embedding=jax.tree_util.tree_map(
                 lambda full, st: full.at[:, 0].set(st.astype(full.dtype)),
@@ -327,9 +327,22 @@ class SelfPlayEngine:
         )
         if spec.use_gumbel:
             trees = jax.vmap(functools.partial(gz.init_candidates, spec))(trees)
+        return trees, policy, logits
+
+    def _alphazero_trees(self, variables, states, feats, legal, turns, rng, k_rot, k_noise):
+        """AlphaZero search returning the finished trees: env states ride
+        inside the tree as node embeddings, leaves are stepped envs evaluated
+        on their true features (the TPU replacement for the reference's
+        env-replay-to-leaf, zero_actor.cpp:247-252)."""
+        env, spec = self.env, self.spec
+        batch = feats.shape[0]
+
+        trees, policy, logits = self._az_root_trees(
+            variables, states, feats, legal, turns, k_rot, k_noise,
+            v2=self.use_tree_kernel_v2)
 
         if self.use_tree_kernel_v2:
-            return self._kernel_sim_loop_v2(variables, trees, root_embedding, rng)
+            return self._kernel_sim_loop_v2(variables, trees, states, rng)
         if self.use_tree_kernel:
             return self._kernel_sim_loop(variables, trees, rng)
 
@@ -521,9 +534,28 @@ class SelfPlayEngine:
         """Run the full search and return the finished Tree batch — the
         analysis surface behind the console's ``tree_string`` (the reference
         dumps its node pool via Tree::getTreeInfo_r, tree.h:79-110).
-        AlphaZero only; compiled on first use."""
+        Compiled on first use."""
         if self.is_muzero:
-            raise NotImplementedError("tree dump is AlphaZero-only for now")
+            if not hasattr(self, "_mz_search_trees_jit"):
+                from minizero_tpu.selfplay.muzero_search import make_muzero_search
+
+                search = make_muzero_search(
+                    self.network, self.spec, self.env.action_features,
+                    self.env.spec.num_players,
+                    discrete_value=self.env.spec.discrete_value_size > 1,
+                    compute_dtype=self.compute_dtype,
+                    resign_threshold=self.cfg.actor_resign_threshold,
+                )
+
+                def impl(variables, states, rng):
+                    env = self.env
+                    turns = jax.vmap(env.turn)(states).astype(jnp.int32)
+                    feats = jax.vmap(env.features)(states)
+                    legal = jax.vmap(env.legal_mask)(states)
+                    variables = self._cast_variables(variables)
+                    return search.search_trees(variables, feats, legal, turns, rng)
+                self._mz_search_trees_jit = jax.jit(impl)
+            return self._mz_search_trees_jit(variables, states, rng)
         if not hasattr(self, "_search_trees_jit"):
             def impl(variables, states, rng):
                 env = self.env
@@ -537,25 +569,20 @@ class SelfPlayEngine:
             self._search_trees_jit = jax.jit(impl)
         return self._search_trees_jit(variables, states, rng)
 
-    def _kernel_sim_loop(self, variables, trees, rng):
-        """Sim loop driven by the fused Pallas tree kernel: per simulation,
-        ONE tree op (expand+backup+halving+next-select) plus the env/network
-        evaluation of the selected leaf."""
-        env, spec = self.env, self.spec
+    def _kernel_phase0(self, trees):
+        """Mask conversion + phase-0 selection (tree already has the expanded
+        root); returns the chunkable v1-kernel sim carry (trees_i32, sel)."""
+        spec = self.spec
         batch = trees.visits.shape[0]
-
         # masks ride as int32 through the whole loop (Mosaic cannot address
         # 1-bit memory; converting once per move beats converting per sim)
         i32 = jnp.int32
-        bool_masks = trees.expanded.dtype == jnp.bool_
         trees = trees.replace(
             expanded=trees.expanded.astype(i32),
             terminal=trees.terminal.astype(i32),
             legal=trees.legal.astype(i32),
             gumbel_active=trees.gumbel_active.astype(i32),
         )
-
-        # phase 0: selection only (tree already has the expanded root)
         zeros_f = jnp.zeros((batch, spec.action_size), jnp.float32)
         zeros_b = jnp.zeros((batch, spec.action_size), bool)
         dummy = (zeros_f, zeros_f, zeros_b, jnp.zeros((batch,), bool),
@@ -569,7 +596,94 @@ class SelfPlayEngine:
         )
         trees, sel = fused_tree_step(
             spec, trees, sel0, *dummy, 0, 0, interpret=self._kernel_interpret)
+        return trees, sel
 
+    @staticmethod
+    def _kernel_masks_to_bool(trees):
+        if trees.expanded.dtype != jnp.bool_:
+            trees = trees.replace(
+                expanded=trees.expanded > 0, terminal=trees.terminal > 0,
+                legal=trees.legal > 0, gumbel_active=trees.gumbel_active > 0,
+            )
+        return trees
+
+    # ------------------------------------------------- timed (console) search
+    # Wall-clock think cap (reference ZeroActor::think, zero_actor.cpp:36-49):
+    # a jitted search cannot be interrupted mid-flight, so the console runs
+    # the sim loop in host-visible CHUNKS over the v1 kernel carry
+    # (trees, next_selection, rng), checks the clock between chunks, and
+    # decides from the partial tree — the same "decide from whatever the
+    # tree holds" semantics as the reference's early-broken think loop.
+    # AlphaZero board games only (the v1 kernel's domain); one leaf per sim.
+
+    def supports_timed_search(self) -> bool:
+        return (not self.is_muzero) and supports_fused_tree_step(self.spec)
+
+    def az_init_timed(self, variables, states, rng):
+        if not hasattr(self, "_az_init_timed_jit"):
+            def impl(variables, states, rng):
+                env = self.env
+                turns = jax.vmap(env.turn)(states)
+                feats = jax.vmap(env.features)(states)
+                legal = jax.vmap(env.legal_mask)(states)
+                rng, k_rot, k_noise = jax.random.split(rng, 3)
+                cast = self._cast_variables(variables)
+                trees, _, _ = self._az_root_trees(
+                    cast, states, feats, legal, turns, k_rot, k_noise, v2=False)
+                trees, sel = self._kernel_phase0(trees)
+                return trees, sel, rng
+            self._az_init_timed_jit = jax.jit(impl)
+        return self._az_init_timed_jit(variables, states, rng)
+
+    def az_advance_timed(self, variables, carry, lo, hi):
+        """Run simulations [lo, hi) on an in-flight timed search carry."""
+        cache = getattr(self, "_az_advance_timed_jit", None)
+        if cache is None:
+            cache = self._az_advance_timed_jit = {}
+        key = (lo, hi)
+        if key not in cache:
+            def impl(variables, carry):
+                trees, sel, rng = carry
+                cast = self._cast_variables(variables)
+                sim_body = self._make_kernel_sim_body(cast, trees.visits.shape[0])
+                return jax.lax.fori_loop(lo, hi, sim_body, (trees, sel, rng))
+            cache[key] = jax.jit(impl)
+        return cache[key](variables, carry)
+
+    def az_finish_timed(self, carry, temperature: float = 1.0):
+        """Decide from the (possibly partial) tree; returns
+        (action, policy_target, root_value, resign, trees)."""
+        if not hasattr(self, "_az_finish_timed_jit"):
+            def impl(carry, temperature):
+                trees, _, rng = carry
+                trees = self._kernel_masks_to_bool(trees)
+                _, k_sel = jax.random.split(rng)
+                action, policy_target, root_value, resign = self._decide(
+                    trees, k_sel, temperature)
+                return action, policy_target, root_value, resign, trees
+            self._az_finish_timed_jit = jax.jit(impl)
+        return self._az_finish_timed_jit(carry, jnp.float32(temperature))
+
+    def _kernel_sim_loop(self, variables, trees, rng):
+        """Sim loop driven by the fused Pallas tree kernel: per simulation,
+        ONE tree op (expand+backup+halving+next-select) plus the env/network
+        evaluation of the selected leaf."""
+        env, spec = self.env, self.spec
+        batch = trees.visits.shape[0]
+        bool_masks = trees.expanded.dtype == jnp.bool_
+        trees, sel = self._kernel_phase0(trees)
+
+        sim_body = self._make_kernel_sim_body(variables, batch)
+        trees, _, rng = jax.lax.fori_loop(
+            1, spec.num_simulations + 1, sim_body, (trees, sel, rng))
+        if bool_masks:
+            trees = self._kernel_masks_to_bool(trees)
+        return trees
+
+    def _make_kernel_sim_body(self, variables, batch):
+        """One v1-kernel simulation: leaf env step + net eval + fused tree op.
+        Carry = (trees_i32, next_selection, rng)."""
+        env, spec = self.env, self.spec
         iota_n = jnp.arange(spec.max_nodes, dtype=jnp.int32)
 
         def pick_parent(oh, x):
@@ -606,14 +720,7 @@ class SelfPlayEngine:
             trees = mcts.store_embedding_batch(trees, s, leaf_states, sel.is_new)
             return trees, nsel, rng
 
-        trees, _, rng = jax.lax.fori_loop(
-            1, spec.num_simulations + 1, sim_body, (trees, sel, rng))
-        if bool_masks:
-            trees = trees.replace(
-                expanded=trees.expanded > 0, terminal=trees.terminal > 0,
-                legal=trees.legal > 0, gumbel_active=trees.gumbel_active > 0,
-            )
-        return trees
+        return sim_body
 
     def _kernel_sim_loop_v2(self, variables, trees, root_states, rng):
         """Large-N AlphaZero sim loop on the edge-indexed v2 kernel.

@@ -40,6 +40,7 @@ class GameRecord:
     data_range: Tuple[int, int] = (-1, -1)  # DLEN; (-1,-1) -> full game
     priorities: Optional[np.ndarray] = None  # f32[L]; None -> uniform
     lives_lost: Optional[np.ndarray] = None  # bool[L]; episodic-life cuts (L tags)
+    value_targets: Optional[np.ndarray] = None  # f32[L] cache (set by add_game)
 
     def __post_init__(self):
         if self.data_range == (-1, -1):
@@ -63,36 +64,65 @@ class ReplayBuffer:
         self.position_priorities: List[np.ndarray] = []
         self.num_data = 0
         self._start = 0  # ring start
+        # flat PER caches (vectorized sampling: one searchsorted over the
+        # concatenated position priorities replaces per-sample rng.choice —
+        # the two-level game→position sampling of the reference
+        # (data_loader.cpp:53-64) is distribution-identical to flat sampling
+        # because P(game) ∝ Σ pos-pri and P(pos | game) ∝ pos-pri)
+        self._games_version = 0  # bumped on add/pop
+        self._flat_version = -1
+        self._cum_dirty = True
+        self._flat_pri: Optional[np.ndarray] = None  # f32 concat of position_priorities
+        self._flat_cum: Optional[np.ndarray] = None  # f64 cumsum
+        self._flat_vt: Optional[np.ndarray] = None  # f32 concat of value_targets
+        self._flat_offsets: Optional[np.ndarray] = None  # i64[G] game starts
 
     def __len__(self) -> int:
         return len(self.games)
 
-    def _n_step_value(self, rec: GameRecord, pos: int) -> float:
-        """Episodic-life n-step return with root-value bootstrap (reference
-        AtariEnvLoader::calculateNStepValue, atari.cpp)."""
+    def _n_step_values_all(self, rec: GameRecord) -> np.ndarray:
+        """Episodic-life n-step return with root-value bootstrap for EVERY
+        position at once (reference AtariEnvLoader::calculateNStepValue,
+        atari.cpp) — n vectorized passes over the record instead of a
+        per-sample python loop."""
         n = self.cfg.learner_n_step_return
-        discount = self.cfg.actor_mcts_reward_discount
+        disc = self.cfg.actor_mcts_reward_discount
         length = rec.length
-        bootstrap = pos + n
-        cut = rec.lives_lost
-        tail = (
-            (discount ** n) * float(rec.values[bootstrap])
-            if bootstrap < length and not (cut is not None and cut[bootstrap])
-            else 0.0
-        )
-        value = 0.0
-        for idx in range(pos, min(bootstrap, length)):
-            if cut is not None and cut[idx]:
-                return value
-            value += (discount ** (idx - pos)) * float(rec.rewards[idx])
-        return value + tail
+        r = np.asarray(rec.rewards, np.float64)
+        v = np.asarray(rec.values, np.float64)
+        cut = (np.asarray(rec.lives_lost, bool) if rec.lives_lost is not None
+               else np.zeros(length, bool))
+        tgt = np.zeros(length, np.float64)
+        alive = np.ones(length, bool)  # no life-loss cut hit yet
+        base = np.arange(length)
+        for d in range(n):
+            idx = base + d
+            ok = idx < length
+            idxc = np.minimum(idx, length - 1)
+            # a cut AT idx stops before adding r[idx] and kills the bootstrap
+            alive = alive & ~(ok & cut[idxc])
+            tgt += np.where(ok & alive, (disc ** d) * r[idxc], 0.0)
+        bidx = base + n
+        ok = bidx < length
+        bidxc = np.minimum(bidx, max(length - 1, 0))
+        tgt += np.where(ok & alive & ~cut[bidxc], (disc ** n) * v[bidxc], 0.0)
+        return tgt.astype(np.float32)
+
+    def _ensure_value_targets(self, rec: GameRecord) -> np.ndarray:
+        if rec.value_targets is None:
+            if self.cfg.learner_n_step_return <= 0:
+                rec.value_targets = np.full(rec.length, rec.result, np.float32)
+            else:
+                rec.value_targets = self._n_step_values_all(rec)
+        return rec.value_targets
 
     def value_target(self, rec: GameRecord, pos: int) -> float:
         """Board games: the game return; n-step games: the n-step value
         (0 past the end, reference atari.h:115)."""
         if self.cfg.learner_n_step_return <= 0:
             return rec.result
-        return self._n_step_value(rec, pos) if pos < rec.length else 0.0
+        vt = self._ensure_value_targets(rec)
+        return float(vt[pos]) if pos < rec.length else 0.0
 
     def add_game(self, record: GameRecord) -> None:
         lo, hi = record.data_range
@@ -102,13 +132,9 @@ class ReplayBuffer:
             and self.cfg.learner_n_step_return > 0
         ):
             # priority = |n-step value - root value| (reference atari.h:117)
-            record.priorities = np.asarray(
-                [
-                    abs(self._n_step_value(record, p) - float(record.values[p])) + 1e-6
-                    for p in range(record.length)
-                ],
-                np.float32,
-            )
+            vt = self._ensure_value_targets(record)
+            record.priorities = np.abs(
+                vt - np.asarray(record.values, np.float32)) + 1e-6
         pri = np.zeros(record.length, np.float32)
         if self.cfg.learner_use_per and record.priorities is not None:
             pri[lo : hi + 1] = np.power(record.priorities[lo : hi + 1], self.cfg.learner_per_alpha)
@@ -124,6 +150,30 @@ class ReplayBuffer:
             self.game_priorities.pop(0)
             lo2, hi2 = old.data_range
             self.num_data -= hi2 - lo2 + 1
+        self._games_version += 1
+
+    # ------------------------------------------------------- flat PER cache
+    def _ensure_flat(self) -> None:
+        """(Re)build the concatenated priority/value-target caches; the
+        cumsum alone is refreshed after in-place priority updates."""
+        if self._flat_version != self._games_version:
+            if self.games:
+                self._flat_offsets = np.concatenate(
+                    [[0], np.cumsum([g.length for g in self.games])[:-1]]
+                ).astype(np.int64)
+                self._flat_pri = np.concatenate(self.position_priorities).astype(np.float32)
+                self._flat_vt = np.concatenate(
+                    [self._ensure_value_targets(g) for g in self.games]
+                ).astype(np.float32)
+            else:
+                self._flat_offsets = np.zeros(0, np.int64)
+                self._flat_pri = np.zeros(0, np.float32)
+                self._flat_vt = np.zeros(0, np.float32)
+            self._flat_version = self._games_version
+            self._cum_dirty = True
+        if self._cum_dirty:
+            self._flat_cum = np.cumsum(self._flat_pri, dtype=np.float64)
+            self._cum_dirty = False
 
     # ------------------------------------------------------------- sampling
     def sample_indices(self, batch_size: int, rng: np.random.RandomState):
@@ -141,17 +191,19 @@ class ReplayBuffer:
             pos_ids = flat - (cum[game_ids] - lengths[game_ids]) + starts[game_ids]
             return game_ids, pos_ids, np.ones(batch_size, np.float32)
 
-        gp = np.asarray(self.game_priorities, np.float64)
-        total = gp.sum()
-        game_ids = rng.choice(len(self.games), size=batch_size, p=gp / total)
-        pos_ids = np.empty(batch_size, np.int64)
-        loss_scale = np.ones(batch_size, np.float32)
-        for i, g in enumerate(game_ids):
-            pp = self.position_priorities[g]
-            s = pp.sum()
-            pos_ids[i] = rng.choice(len(pp), p=pp / s)
-            prob = pp[pos_ids[i]] / total
-            loss_scale[i] = (self.num_data * prob) ** (-self.per_beta)
+        # flat weighted sampling (distribution-identical to the reference's
+        # two-level scheme; see _ensure_flat): ONE searchsorted for the
+        # whole batch instead of batch_size rng.choice calls
+        self._ensure_flat()
+        total = float(self._flat_cum[-1])
+        u = rng.random_sample(batch_size) * total
+        flat_idx = np.minimum(
+            np.searchsorted(self._flat_cum, u, side="right"),
+            len(self._flat_pri) - 1)
+        game_ids = (np.searchsorted(self._flat_offsets, flat_idx, side="right") - 1).astype(np.int64)
+        pos_ids = flat_idx - self._flat_offsets[game_ids]
+        prob = self._flat_pri[flat_idx].astype(np.float64) / total
+        loss_scale = np.power(self.num_data * prob, -self.per_beta).astype(np.float32)
         # normalise by batch max (reference train.py:63)
         loss_scale = loss_scale / max(loss_scale.max(), 1e-12)
         return game_ids, pos_ids, loss_scale
@@ -225,10 +277,38 @@ class ReplayBuffer:
     # -------------------------------------------------------------- PER sync
     def update_priority(self, sampled_index: np.ndarray, new_priorities: np.ndarray) -> None:
         """Refresh position priorities from new network values (reference
-        ``data_loader.cpp:233-253``)."""
-        if not self.cfg.learner_use_per:
+        ``data_loader.cpp:233-253``) — vectorized scatter (duplicates: last
+        write wins, like the reference's sequential loop)."""
+        if not self.cfg.learner_use_per or len(sampled_index) == 0:
             return
-        for (g, p), pri in zip(sampled_index, new_priorities):
-            if g < len(self.games):
-                self.position_priorities[g][p] = float(pri) ** self.cfg.learner_per_alpha
-                self.game_priorities[g] = float(self.position_priorities[g].sum())
+        g = np.asarray(sampled_index[:, 0], np.int64)
+        p = np.asarray(sampled_index[:, 1], np.int64)
+        pr = np.power(np.asarray(new_priorities, np.float64),
+                      self.cfg.learner_per_alpha).astype(np.float32)
+        valid = g < len(self.games)
+        g, p, pr = g[valid], p[valid], pr[valid]
+        for ug in np.unique(g):
+            m = g == ug
+            pp = self.position_priorities[ug]
+            pp[p[m]] = pr[m]
+            self.game_priorities[ug] = float(pp.sum())
+        if self._flat_version == self._games_version and len(g):
+            self._flat_pri[self._flat_offsets[g] + p] = pr
+            self._cum_dirty = True
+
+    def refresh_priorities(self, sampled_index: np.ndarray, new_values: np.ndarray) -> None:
+        """PER refresh from freshly-trained network values: priority =
+        |value target − new value| + ε (reference train.py:208-209 +
+        data_loader.cpp:233-253), fully vectorized via the flat
+        value-target cache."""
+        if not self.cfg.learner_use_per or len(sampled_index) == 0:
+            return
+        self._ensure_flat()
+        g = np.asarray(sampled_index[:, 0], np.int64)
+        p = np.asarray(sampled_index[:, 1], np.int64)
+        valid = g < len(self.games)
+        tgt = np.zeros(len(g), np.float32)
+        gv, pv = g[valid], p[valid]
+        tgt[valid] = self._flat_vt[self._flat_offsets[gv] + pv]
+        pri = np.abs(tgt - np.asarray(new_values, np.float32)) + 1e-6
+        self.update_priority(np.stack([g, p], axis=1)[valid], pri[valid])

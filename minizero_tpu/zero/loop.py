@@ -429,8 +429,9 @@ class ZeroLoop:
         totals: Dict[str, float] = {}
         shown = 0
         bs = cfg.learner_batch_size
-        chunk = max(1, min(cfg.learner_training_display_step,
-                           20 if cfg.learner_use_per else 100))
+        # PER refresh is vectorized (ReplayBuffer.refresh_priorities), so PER
+        # no longer needs a shorter chunk; the refresh lag stays < K steps
+        chunk = max(1, min(cfg.learner_training_display_step, 100))
         done = 0
         while done < cfg.learner_training_step:
             k_steps = min(chunk, cfg.learner_training_step - done)
@@ -453,12 +454,7 @@ class ZeroLoop:
             if cfg.learner_use_per and "_new_values" in metrics:
                 new_values = np.asarray(metrics.pop("_new_values"))  # [K, B]
                 for i, sampled_index in enumerate(indices):
-                    pri = np.empty(len(sampled_index), np.float32)
-                    for j, (g, p) in enumerate(sampled_index):
-                        rec = self.buffer.games[g]
-                        pri[j] = abs(self.buffer.value_target(rec, int(p))
-                                     - float(new_values[i, j])) + 1e-6
-                    self.buffer.update_priority(sampled_index, pri)
+                    self.buffer.refresh_priorities(sampled_index, new_values[i])
             metrics.pop("_new_values", None)
             sums = {key: np.asarray(val) for key, val in metrics.items()}
             done += k_steps
@@ -512,11 +508,7 @@ class ZeroLoop:
                     nv = global_array_to_host_local_array(
                         nv, self.mesh, PartitionSpec("dp"))
                 new_values = np.asarray(nv)
-                pri = np.empty(len(sampled_index), np.float32)
-                for j, (g, p) in enumerate(sampled_index):
-                    rec = self.buffer.games[g]
-                    pri[j] = abs(self.buffer.value_target(rec, int(p)) - float(new_values[j])) + 1e-6
-                self.buffer.update_priority(sampled_index, pri)
+                self.buffer.refresh_priorities(sampled_index, new_values)
             metrics.pop("_new_values", None)
             for key, val in metrics.items():
                 totals[key] = totals.get(key, 0.0) + float(val)

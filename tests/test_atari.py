@@ -131,11 +131,11 @@ def test_n_step_value_with_life_cut():
     )
     # pos 0: r0 + 0.5 r1 + 0.25 r2 + 0.125 * V[3]? no: bootstrap at 3 has life
     # lost -> no bootstrap: 1 + 1 + 1 = 3
-    assert buf._n_step_value(rec, 0) == 1 + 0.5 * 2 + 0.25 * 4
+    assert buf.value_target(rec, 0) == 1 + 0.5 * 2 + 0.25 * 4
     # pos 2: r2, then idx3 has life lost -> stop, no bootstrap contribution
-    assert buf._n_step_value(rec, 2) == 4.0
+    assert buf.value_target(rec, 2) == 4.0
     # pos 4: r4 + 0.5 r5, bootstrap at 7 out of range
-    assert buf._n_step_value(rec, 4) == 16 + 0.5 * 32
+    assert buf.value_target(rec, 4) == 16 + 0.5 * 32
 
 
 def test_rebuild_features_from_frames_roundtrip():

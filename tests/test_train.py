@@ -152,3 +152,56 @@ def test_zero_loop_iteration(tmp_path):
     loop2 = ZeroLoop(cfg, str(tmp_path))
     loop2.load_checkpoint(str(tmp_path / "model" / f"weight_iter_{int(loop.state.step)}.ckpt"))
     assert int(loop2.state.step) == cfg.learner_training_step
+
+
+def test_per_flat_sampling_distribution_and_updates():
+    """Vectorized PER: flat searchsorted sampling must follow the two-level
+    priority distribution (reference data_loader.cpp:53-74), update_priority
+    must rescale future draws, and refresh_priorities must match the
+    |target − value| + eps rule."""
+    cfg = tiny_cfg(learner_use_per=True, learner_per_alpha=1.0,
+                   learner_per_init_beta=1.0)
+    env = make_env(cfg)
+    buf = ReplayBuffer(cfg, env.spec)
+    rng = np.random.RandomState(3)
+    for _ in range(4):
+        rec = random_game_record(rng, env, length=6)
+        rec.priorities = rng.rand(6).astype(np.float32) + 0.05
+        buf.add_game(rec)
+
+    # empirical frequency tracks p = pri / total
+    draws = 40000
+    g, p, scale = buf.sample_indices(draws, rng)
+    flat = g * 6 + p
+    counts = np.bincount(flat, minlength=24).astype(np.float64) / draws
+    pri = np.concatenate([buf.position_priorities[i] for i in range(4)])
+    expect = pri / pri.sum()
+    np.testing.assert_allclose(counts, expect, atol=0.01)
+    # importance weights: (N p)^-beta normalized by batch max
+    probs = pri[flat] / pri.sum()
+    want = (buf.num_data * probs) ** -1.0
+    np.testing.assert_allclose(scale, want / want.max(), rtol=1e-5)
+
+    # update_priority: zero out one game -> it stops being sampled
+    idx = np.stack([np.full(6, 1), np.arange(6)], axis=1)
+    buf.update_priority(idx, np.full(6, 1e-12))
+    g2, _, _ = buf.sample_indices(4000, rng)
+    assert (g2 == 1).sum() == 0
+
+    # refresh_priorities: board-game target is the game result
+    idx3 = np.stack([np.full(3, 2), np.arange(3)], axis=1)
+    buf.refresh_priorities(idx3, np.array([0.0, 0.5, -0.5], np.float32))
+    res = buf.games[2].result
+    want3 = np.abs(np.array([res, res - 0.5, res + 0.5])) + 1e-6
+    np.testing.assert_allclose(buf.position_priorities[2][:3], want3, rtol=1e-5)
+    # game priority stays the sum of position priorities
+    np.testing.assert_allclose(buf.game_priorities[2],
+                               buf.position_priorities[2].sum(), rtol=1e-6)
+
+    # the window can slide after updates without corrupting the flat cache
+    for _ in range(2):
+        rec = random_game_record(rng, env, length=6)
+        rec.priorities = rng.rand(6).astype(np.float32) + 0.05
+        buf.add_game(rec)
+    g4, p4, _ = buf.sample_indices(64, rng)
+    assert (p4 < 6).all() and (g4 < len(buf.games)).all()

@@ -64,6 +64,7 @@ _PARAMS: Tuple[Tuple[str, Any, str, str], ...] = (
     ("zero_replay_buffer", 20, "replay buffer stores (zero_replay_buffer x zero_num_games_per_iteration) games/sequences", "Zero"),
     ("zero_disable_resign_ratio", 0.1, "the probability to keep playing when the winrate is below actor_resign_threshold", "Zero"),
     ("zero_moves_per_dispatch", 8, "moves advanced per device dispatch during self-play collection (move_scan chunk length; TPU-only knob)", "Zero"),
+    ("zero_collective_timeout", 300.0, "seconds a multi-host collective (stats allgather / checkpoint barrier) may block before the process aborts for restart-from-checkpoint; 0 disables the watchdog (TPU-only knob; the reference instead drops lost TCP workers, zero_server.cpp:86)", "Zero"),
     ("zero_actor_intermediate_sequence_length", 0, "the max sequence length when running self-play; 0 (unlimited) for board games, 200 for atari", "Zero"),
     ("zero_actor_ignored_command", "reset_actors", "the commands to ignore by the actor", "Zero"),
     ("zero_actor_record_observations", False, "store compressed per-step observations in records as OBS tags (atari; see -mode remove_obs/recover_obs)", "Zero"),

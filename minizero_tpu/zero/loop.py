@@ -289,7 +289,11 @@ class ZeroLoop:
                 return [float(x.sum()), float((x * x).sum()), float(x.min()), float(x.max())]
 
             local = np.array([float(num_games)] + mom(lengths) + mom(returns) + [dt])
-            g = np.asarray(multihost_utils.process_allgather(local))
+            from minizero_tpu.parallel.watchdog import collective_watchdog
+
+            with collective_watchdog("selfplay_stats_allgather",
+                                     self.cfg.zero_collective_timeout, self.log):
+                g = np.asarray(multihost_utils.process_allgather(local))
             n = g[:, 0].sum()
             def comb(col):
                 s, sq = g[:, col].sum(), g[:, col + 1].sum()
@@ -494,6 +498,15 @@ class ZeroLoop:
             batch["features"] = self._feat_cast(batch["features"])
             self.rng, k = jax.random.split(self.rng)
             self.state, metrics = self._train_step(self.state, batch, k)
+            if self.num_procs > 1:
+                # the gradient all-reduce spans hosts: block on it under the
+                # watchdog so a dead peer aborts this host promptly instead
+                # of wedging the dispatch queue forever
+                from minizero_tpu.parallel.watchdog import collective_watchdog
+
+                with collective_watchdog(f"train_step_{step}",
+                                         self.cfg.zero_collective_timeout, self.log):
+                    jax.block_until_ready(metrics)
             if cfg.learner_use_per and "_new_values" in metrics:
                 # refresh sampled priorities from the fresh net values
                 # (reference train.py:208-209, data_loader.cpp:233-253)
@@ -536,7 +549,11 @@ class ZeroLoop:
         if self.num_procs > 1:
             from jax.experimental.multihost_utils import sync_global_devices
 
-            sync_global_devices(f"ckpt_{step}")
+            from minizero_tpu.parallel.watchdog import collective_watchdog
+
+            with collective_watchdog(f"ckpt_barrier_{step}",
+                                     self.cfg.zero_collective_timeout, self.log):
+                sync_global_devices(f"ckpt_{step}")
         return path
 
     def load_checkpoint(self, path: str) -> None:

@@ -28,6 +28,129 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 REFERENCE_ENV_STEPS_PER_S = 1000.0  # estimated reference GPU worker (see above)
 
 
+def _latest_trained_ckpt():
+    """Newest Go9 gaz checkpoint from the training runs in runs/ (used to
+    measure az n=200 with realistic, peaked priors — the random-init depth
+    wall is an artifact of uniform priors, see CLAUDE.md)."""
+    import glob
+    import os
+    import re
+
+    cands = []
+    for run in ("runs/go9_gaz_full", "runs/go9_gaz_r1", "runs/go9_gaz"):
+        cands += glob.glob(os.path.join(os.path.dirname(__file__), run, "model", "weight_iter_*.ckpt"))
+    if not cands:
+        return None
+    return max(cands, key=lambda p: (int(re.search(r"(\d+)", os.path.basename(p)).group(1)),))
+
+
+def _bench_az200(trained: bool) -> dict:
+    """az n=200 (the reference's flagship AlphaZero config) env-steps/s."""
+    from minizero_tpu.config import algorithm_preset, default_config
+    from minizero_tpu.envs import make_env
+    from minizero_tpu.models.factory import create_network, init_network
+    from minizero_tpu.selfplay.engine import SelfPlayEngine
+
+    cfg = default_config("go", **algorithm_preset("az")).replace(actor_num_simulation=200)
+    env = make_env(cfg)
+    net = create_network(cfg, env.spec)
+    variables = init_network(net, env.spec, jax.random.PRNGKey(0))
+    label = "random_init"
+    if trained:
+        ckpt = _latest_trained_ckpt()
+        if ckpt is None:
+            return {"skipped": "no trained checkpoint in runs/"}
+        from minizero_tpu.eval.match import load_checkpoint_variables
+
+        variables = load_checkpoint_variables(ckpt, cfg, net, env.spec)
+        label = ckpt.split("runs/")[-1]
+    engine = SelfPlayEngine(env, cfg, net)
+    batch = 1024
+    states = engine.init_batch(batch)
+    rng, k = jax.random.split(jax.random.PRNGKey(1))
+    moves = 4
+    _, states, enable, msr = engine.move_scan(variables, states, k, 1.0, moves)
+    jax.block_until_ready(jax.tree_util.tree_leaves(states)[0])
+    t0 = time.perf_counter()
+    rng, k = jax.random.split(rng)
+    _, states, enable, msr = engine.move_scan(variables, states, k, 1.0, moves, enable, msr)
+    jax.block_until_ready(jax.tree_util.tree_leaves(states)[0])
+    dt = time.perf_counter() - t0
+    return {
+        "env_steps_per_s": round(batch * moves / dt, 1),
+        "weights": label,
+        "batch_games": batch,
+        "moves_timed": moves,
+    }
+
+
+def _bench_mz50_search() -> dict:
+    """Atari MuZero n=50 device search latency (reference mz headline;
+    the ALE itself is host-side and excluded — scripts/perf_atari_search.py
+    is the side-by-side)."""
+    from minizero_tpu.config import algorithm_preset, default_config
+    from minizero_tpu.envs.atari import atari_spec
+    from minizero_tpu.models.factory import create_network, init_network
+    from minizero_tpu.selfplay.engine import search_spec_from_config
+    from minizero_tpu.selfplay.muzero_search import make_muzero_search
+
+    cfg = default_config("atari", **algorithm_preset("mz")).replace(actor_num_simulation=50)
+    spec = atari_spec()
+    net = create_network(cfg, spec)
+    variables = init_network(net, spec, jax.random.PRNGKey(0))
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, variables)
+    sspec = search_spec_from_config(cfg, spec)
+    c = spec.num_action_feature_channels
+
+    def action_features(action):
+        onehot = (jnp.arange(spec.action_size) == action).astype(jnp.float32)
+        return jnp.broadcast_to(
+            onehot[None, None, :], (spec.hidden_height, spec.hidden_width, c))
+
+    search = make_muzero_search(
+        net, sspec, action_features,
+        num_players=1, discrete_value=spec.discrete_value_size > 1,
+        compute_dtype=jnp.bfloat16)
+    b = 256
+    feats = jax.random.uniform(
+        jax.random.PRNGKey(1),
+        (b, spec.input_height, spec.input_width, spec.num_input_channels))
+    legal = jnp.ones((b, spec.action_size), bool)
+    turns = jnp.ones((b,), jnp.int32)
+    fn = jax.jit(lambda v, f, rng: search(v, f, legal, turns, rng, jnp.float32(1.0)))
+    out = fn(variables, feats, jax.random.PRNGKey(0))
+    jax.block_until_ready(out.action)
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = fn(variables, feats, jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(out.action)
+    return {"search_ms": round((time.perf_counter() - t0) / reps * 1000.0, 2),
+            "batch": b, "sims": 50}
+
+
+def _trace_top_ops(engine, variables, states, rng) -> list:
+    """Per-op device time for one gaz chunk via jax.profiler
+    (tools/trace_report.py) — the regression-grade signal next to the
+    wall-clock headline (tunnel RTT makes wall noisy, CLAUDE.md)."""
+    import tempfile
+
+    from minizero_tpu.tools.trace_report import aggregate
+
+    trace_dir = tempfile.mkdtemp(prefix="bench_trace_")
+    with jax.profiler.trace(trace_dir):
+        rng, k = jax.random.split(rng)
+        _, states, _, _ = engine.move_scan(variables, states, k, 1.0, 4)
+        jax.block_until_ready(jax.tree_util.tree_leaves(states)[0])
+    rows, total_ps = aggregate(trace_dir, by="op")
+    total = float(total_ps) or 1.0
+    return [
+        {"op": r[0][:48], "ms": round(r[1] / 1e9, 3), "pct": round(100.0 * r[1] / total, 1)}
+        for r in rows[:5]
+    ]
+
+
 def main(batch_size: int = 1024, measure_moves: int = 12) -> None:
     # round-1 sweep on the real chip: 512 -> 2992, 1024 -> 3790,
     # 2048 -> 3884 env-steps/s; 1024 is the knee (2048 costs 2x latency
@@ -66,6 +189,21 @@ def main(batch_size: int = 1024, measure_moves: int = 12) -> None:
     sims_per_s = env_steps_per_s * (cfg.actor_num_simulation + 1)
     games_per_hour = env_steps_per_s / 110.0 * 3600.0  # ~110 moves per 9x9 game
 
+    # secondary reference-headline configs + per-op device attribution
+    # (VERDICT r1 #2/#3); each guarded so a failure can't kill the headline
+    extras = {}
+    for key, fn in (
+        ("az200_trained", lambda: _bench_az200(trained=True)),
+        ("az200_random_init", lambda: _bench_az200(trained=False)),
+        ("mz50_atari_search", _bench_mz50_search),
+        ("gaz_top_ops_device_time",
+         lambda: _trace_top_ops(engine, variables, states, rng)),
+    ):
+        try:
+            extras[key] = fn()
+        except Exception as e:  # noqa: BLE001
+            extras[key] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     print(
         json.dumps(
             {
@@ -80,6 +218,7 @@ def main(batch_size: int = 1024, measure_moves: int = 12) -> None:
                     "mcts_sims_per_s": round(sims_per_s, 1),
                     "est_games_per_hour": round(games_per_hour, 1),
                     "device": str(jax.devices()[0]),
+                    **extras,
                 },
             }
         )

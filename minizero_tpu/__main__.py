@@ -203,8 +203,13 @@ def main(argv=None) -> int:
     if cfg.program_quiet:
         # silence diagnostic output like the reference's cerr redirect
         # (console/mode_handler.cpp:61, utils/ostream_redirector.h); GTP
-        # replies and mode outputs stay on stdout.
-        sys.stderr = open(os.devnull, "w")
+        # replies and mode outputs stay on stdout. Keep a handle and close
+        # it at exit so the fd doesn't leak (sys.__stderr__ stays intact).
+        import atexit
+
+        devnull = open(os.devnull, "w")
+        sys.stderr = devnull
+        atexit.register(devnull.close)
     if args.gen:
         cfg.save_file(args.gen)
         print(f"wrote {args.gen}")

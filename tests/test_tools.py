@@ -136,9 +136,9 @@ def test_zero_loop_resume(tmp_path):
 
 @pytest.mark.slow
 @pytest.mark.skipif(
-    not os.environ.get("MINIZERO_RUN_LEARNING_SMOKE"),
-    reason="~4 min; set MINIZERO_RUN_LEARNING_SMOKE=1 to run "
-    "(last manual run: trained-vs-init 40W/3L/5D, win_rate 0.885)",
+    os.environ.get("MINIZERO_SKIP_LEARNING_SMOKE") == "1",
+    reason="opted out via MINIZERO_SKIP_LEARNING_SMOKE=1 "
+    "(~4 min; the only end-to-end does-it-learn check)",
 )
 def test_learning_smoke(tmp_path):
     """Gumbel-AZ tictactoe actually learns: the trained net must clearly
@@ -217,3 +217,26 @@ def test_run_selfplay_board_mode(tmp_path):
     lines = [l for l in out.read_text().splitlines() if l.strip()]
     assert len(lines) == 3
     assert all("RE[" in l for l in lines)
+
+
+def test_plot_board_hex_family(tmp_path):
+    """Hex-family geometry rendering (reference tools/plot_board.py
+    plot_hex_board, :148-249): hex rhombus with player border edges and
+    havannah's hexagonal outline, plus the square path still working."""
+    import jax
+    import jax.numpy as jnp
+
+    from minizero_tpu.config import default_config
+    from minizero_tpu.envs import make_env
+    from minizero_tpu.tools.plot_board import plot_board
+
+    for name, moves in [("hex", [0, 5, 12]), ("havannah", [7, 30, 50]),
+                        ("tictactoe", [0, 4])]:
+        cfg = default_config(name)
+        env = make_env(cfg)
+        s = env.init()
+        for a in moves:
+            if bool(env.legal_mask(s)[a]):
+                s = env.step(s, jnp.int32(a))
+        out = plot_board(env, s, str(tmp_path / f"{name}.png"), title=name)
+        assert os.path.getsize(out) > 5000

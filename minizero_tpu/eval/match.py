@@ -66,6 +66,12 @@ def load_checkpoint_variables(path: str, cfg: Config, network, spec):
     return out
 
 
+# envs whose turn strictly alternates every action (pass/swap are explicit
+# actions) — the precondition for the synchronized fast match path
+_ALTERNATING = ("go", "killallgo", "nogo", "tictactoe", "othello", "gomoku",
+                "hex", "havannah", "breakthrough", "clobber")
+
+
 def play_match(
     cfg: Config,
     variables_a,
@@ -78,9 +84,20 @@ def play_match(
 
     Eval recipe per the reference (``README.md:203``): sims from cfg,
     argmax-count selection, no exploration noise (``eval_mode=True``).
+
+    Fast path (turn-alternating envs): games stay ply-synchronized — no
+    mid-stream resets — so each ply needs ONE batched search (the mover's)
+    instead of both engines searching every position, and whole rounds of
+    plies run inside a single jitted scan per dispatch (per-move dispatch
+    over the TPU tunnel costs a host round trip each, CLAUDE.md). A's
+    colour alternates per round; finished slots freeze via masking.
     """
     env = make_env(cfg)
     net = create_network(cfg, env.spec)
+    if cfg.env_name in _ALTERNATING or any(
+            cfg.env_name.startswith(p) for p in _ALTERNATING):
+        return _play_match_synchronized(
+            env, cfg, net, variables_a, variables_b, num_games, seed, max_moves)
     engine_a = SelfPlayEngine(env, cfg, net, eval_mode=True)
     engine_b = SelfPlayEngine(env, cfg, net, eval_mode=True)
 
@@ -130,6 +147,80 @@ def play_match(
             if reset_mask.any():
                 rng, kr = jax.random.split(rng)
                 states = engine_a.reset_slots(states, reset_mask, kr)
+    return MatchResult(p1_wins=a_wins, p2_wins=b_wins, draws=draws)
+
+
+def _play_match_synchronized(env, cfg, net, variables_a, variables_b,
+                             num_games: int, seed: int,
+                             max_moves: Optional[int]) -> MatchResult:
+    """Fast eval path: rounds of ply-synchronized games, one engine call
+    per ply, M plies per jitted dispatch (see play_match docstring)."""
+    import jax.numpy as jnp
+
+    engine = SelfPlayEngine(env, cfg, net, eval_mode=True)
+    batch = min(num_games, max(cfg.zero_num_parallel_games, 1))
+    cap = max_moves or env.spec.max_game_length + 8
+    plies_per_dispatch = 16
+
+    def chunk_impl(vars_first, vars_second, states, done, score, rng):
+        """M plies: alternating movers, finished slots frozen."""
+
+        def ply(carry, swap):
+            states, done, score, rng = carry
+            rng, k = jax.random.split(rng)
+            # swap==0 -> first mover's net, swap==1 -> second's: select the
+            # VARIABLES (a cheap whole-tree where) so the big search graph
+            # traces once, not per branch
+            vars_sel = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(swap == 0, a, b), vars_first, vars_second)
+            out = engine._move_impl(vars_sel, states, k, jnp.float32(1.0))
+            keep = done
+            states = jax.tree_util.tree_map(
+                lambda old, new: jnp.where(
+                    keep.reshape((-1,) + (1,) * (new.ndim - 1)), old, new),
+                states, out.states)
+            score = jnp.where(keep, score, out.eval_score)
+            done = keep | out.done
+            return (states, done, score, rng), None
+
+        swaps = (jnp.arange(plies_per_dispatch) % 2).astype(jnp.int32)
+        (states, done, score, rng), _ = jax.lax.scan(
+            ply, (states, done, score, rng), swaps)
+        return states, done, score, rng
+
+    chunk = jax.jit(chunk_impl)
+
+    rng = jax.random.PRNGKey(seed)
+    a_wins = b_wins = draws = 0
+    played = 0
+    round_idx = 0
+    while played < num_games:
+        this_round = min(batch, num_games - played)
+        a_is_p1 = round_idx % 2 == 0
+        rng, k_init = jax.random.split(rng)
+        states = engine.init_batch(batch, k_init)
+        done = jnp.zeros((batch,), bool)
+        score = jnp.zeros((batch,), jnp.float32)
+        vf, vs = (variables_a, variables_b) if a_is_p1 else (variables_b, variables_a)
+        for _ in range(-(-cap // plies_per_dispatch)):
+            rng, k = jax.random.split(rng)
+            states, done, score, rng = chunk(vf, vs, states, done, score, k)
+            if bool(np.asarray(done).all()):
+                break
+        scores = np.asarray(score)[:this_round]
+        dn = np.asarray(done)[:this_round]
+        for i in range(this_round):
+            s = float(scores[i]) if dn[i] else 0.0  # cap hit -> draw
+            if s > 0:
+                a_wins += 1 if a_is_p1 else 0
+                b_wins += 0 if a_is_p1 else 1
+            elif s < 0:
+                b_wins += 1 if a_is_p1 else 0
+                a_wins += 0 if a_is_p1 else 1
+            else:
+                draws += 1
+            played += 1
+        round_idx += 1
     return MatchResult(p1_wins=a_wins, p2_wins=b_wins, draws=draws)
 
 

@@ -77,11 +77,24 @@ def render_board(env, state) -> str:
     else:
         return str(b)
     sym = {0: ".", 1: "O", 2: "X", 3: "#"}
+    # interactive terminals get the reference's colored board (stones bold
+    # on a yellow board, go.cpp:329-344); pipes/GUIs get plain text
+    from minizero_tpu.utils.color_message import color_enabled, get_color_text
+
+    paint = color_enabled(getattr(env, "cfg", None))
+
+    def cell(v: int) -> str:
+        ch = sym.get(v, "?")
+        if not paint:
+            return ch
+        fg = {1: "black", 2: "white"}.get(v, "black")
+        return get_color_text(ch, bold=v in (1, 2), color=fg, background="yellow")
+
     lines = []
     header = "  " + " ".join(chr(c + ord("A") + (1 if c >= 8 else 0)) for c in range(n))
     lines.append(header)
     for r in range(n - 1, -1, -1):
-        row = " ".join(sym.get(int(v), "?") for v in b[r])
+        row = " ".join(cell(int(v)) for v in b[r])
         lines.append(f"{r + 1:2d} {row} {r + 1}")
     lines.append(header)
     return "\n".join(lines)

@@ -44,9 +44,13 @@ class MatchResult:
 
 
 def elo_from_win_rate(win_rate: float) -> float:
-    """reference tools/eval.py:64-71 (clamped away from 0/1)."""
-    w = min(max(win_rate, 1e-4), 1 - 1e-4)
-    return 400.0 * math.log10(w / (1.0 - w))
+    """reference tools/eval.py compute_elo: 400*log10(w/(1-w)) capped to
+    +/-1000 per match (sweeps count +/-1000)."""
+    if win_rate >= 1.0:
+        return 1000.0
+    if win_rate <= 0.0:
+        return -1000.0
+    return max(min(400.0 * math.log10(win_rate / (1.0 - win_rate)), 1000.0), -1000.0)
 
 
 def load_checkpoint_variables(path: str, cfg: Config, network, spec):

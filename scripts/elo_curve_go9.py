@@ -1,0 +1,108 @@
+"""Go9 Elo curve: sequential checkpoint ladder + overlay vs the reference's
+published figure (VERDICT r1 item #3).
+
+Ladders checkpoint i vs i+interval through the run (reference
+tools/self-eval.sh protocol: alternating colours, argmax-count, noise off,
+Elo accumulation capped +/-1000 per match like tools/eval.py compute_elo),
+then plots accumulated Elo over training steps against the reference's
+curves digitized from docs/imgs/minizero_go_9x9.svg
+(refbench/ref_go9_elo_curves.json).
+
+    python scripts/elo_curve_go9.py <run_dir> [interval_iters] [games_per_pair]
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+
+def main(run_dir, interval=10, games=96):
+    import pickle
+    import time
+
+    from minizero_tpu.config import default_config
+    from minizero_tpu.envs import make_env
+    from minizero_tpu.eval.match import (
+        elo_from_win_rate, load_checkpoint_variables, play_match)
+    from minizero_tpu.models.factory import create_network
+
+    model_dir = os.path.join(run_dir, "model")
+    ckpts = sorted(
+        glob.glob(os.path.join(model_dir, "weight_iter_*.ckpt")),
+        key=lambda p: int(re.search(r"(\d+)", os.path.basename(p)).group(1)))
+    assert ckpts, f"no checkpoints in {run_dir}"
+    with open(ckpts[-1], "rb") as f:
+        conf_text = pickle.load(f)["config"]
+    pairs = [ln.split("#", 1)[0].strip() for ln in conf_text.splitlines()]
+    cfg = default_config("go").load_string(":".join(p for p in pairs if p and "=" in p))
+    cfg = cfg.replace(zero_num_parallel_games=min(games, 96))
+    env = make_env(cfg)
+    net = create_network(cfg, env.spec)
+
+    steps_of = lambda p: int(re.search(r"(\d+)", os.path.basename(p)).group(1))
+    sel = [c for c in ckpts if steps_of(c) % (interval * cfg.learner_training_step) == 0]
+    print(f"ladder over {len(sel)} checkpoints (every {interval} iterations)")
+
+    elo = 0.0
+    points = [{"step": 0, "elo": 0.0}]
+    results = []
+    vb = load_checkpoint_variables(sel[0], cfg, net, env.spec)
+    for i in range(1, len(sel)):
+        va = load_checkpoint_variables(sel[i], cfg, net, env.spec)
+        t0 = time.time()
+        r = play_match(cfg, va, vb, num_games=games, seed=1000 + i)
+        gain = elo_from_win_rate(r.p1_win_rate)
+        elo += gain
+        points.append({"step": steps_of(sel[i]), "elo": round(elo, 1)})
+        results.append({
+            "new": os.path.basename(sel[i]), "old": os.path.basename(sel[i - 1]),
+            "wins": r.p1_wins, "losses": r.p2_wins, "draws": r.draws,
+            "win_rate": round(r.p1_win_rate, 4), "elo_gain": round(gain, 1),
+            "elo": round(elo, 1), "seconds": round(time.time() - t0, 1),
+        })
+        print(results[-1], flush=True)
+        vb = va
+
+    out = {"run": run_dir, "interval_iters": interval, "games_per_pair": games,
+           "points": points, "matches": results}
+    with open(os.path.join(run_dir, "elo_curve.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+    # overlay vs reference curves
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ref_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "refbench", "ref_go9_elo_curves.json")
+    fig, ax = plt.subplots(figsize=(8, 5))
+    if os.path.exists(ref_path):
+        ref = json.load(open(ref_path))["curves"]
+        for name, pts in ref.items():
+            style = dict(lw=2.2, alpha=0.9) if name == "g-az n=16" else dict(lw=1.0, alpha=0.35)
+            ax.plot([p["step"] for p in pts], [p["elo"] for p in pts],
+                    label=f"reference {name}", **style)
+    ax.plot([p["step"] for p in points], [p["elo"] for p in points],
+            "k-o", lw=2.2, ms=3, label="minizero_tpu g-az n=16 (this run)")
+    ax.set_xlabel("training steps")
+    ax.set_ylabel("Elo (sequential self-ladder, +/-1000 cap)")
+    ax.set_title("Go 9x9 strength vs reference published curves")
+    ax.legend(fontsize=7)
+    ax.grid(alpha=0.3)
+    png = os.path.join(run_dir, "elo_curve_vs_reference.png")
+    fig.savefig(png, dpi=120, bbox_inches="tight")
+    print("wrote", png)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1],
+         int(sys.argv[2]) if len(sys.argv) > 2 else 10,
+         int(sys.argv[3]) if len(sys.argv) > 3 else 96)

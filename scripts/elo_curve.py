@@ -1,5 +1,5 @@
-"""Go9 Elo curve: sequential checkpoint ladder + overlay vs the reference's
-published figure (VERDICT r1 item #3).
+"""Elo curve: sequential checkpoint ladder + overlay vs the reference's
+published figures (VERDICT r1 item #3). Go 9x9 and Othello 8x8.
 
 Ladders checkpoint i vs i+interval through the run (reference
 tools/self-eval.sh protocol: alternating colours, argmax-count, noise off,
@@ -8,7 +8,7 @@ then plots accumulated Elo over training steps against the reference's
 curves digitized from docs/imgs/minizero_go_9x9.svg
 (refbench/ref_go9_elo_curves.json).
 
-    python scripts/elo_curve_go9.py <run_dir> [interval_iters] [games_per_pair]
+    python scripts/elo_curve.py <run_dir> [interval_iters] [games_per_pair]
 """
 import glob
 import json
@@ -41,7 +41,9 @@ def main(run_dir, interval=10, games=96):
     with open(ckpts[-1], "rb") as f:
         conf_text = pickle.load(f)["config"]
     pairs = [ln.split("#", 1)[0].strip() for ln in conf_text.splitlines()]
-    cfg = default_config("go").load_string(":".join(p for p in pairs if p and "=" in p))
+    kv = [p for p in pairs if p and "=" in p]
+    env_name = next(p.split("=", 1)[1] for p in kv if p.startswith("env_name="))
+    cfg = default_config(env_name).load_string(":".join(kv))
     cfg = cfg.replace(zero_num_parallel_games=min(games, 96))
     env = make_env(cfg)
     net = create_network(cfg, env.spec)
@@ -81,8 +83,10 @@ def main(run_dir, interval=10, games=96):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    ref_name = {"go": "ref_go9_elo_curves.json",
+                "othello": "ref_oth8_elo_curves.json"}.get(cfg.env_name, "")
     ref_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                            "refbench", "ref_go9_elo_curves.json")
+                            "refbench", ref_name)
     fig, ax = plt.subplots(figsize=(8, 5))
     if os.path.exists(ref_path):
         ref = json.load(open(ref_path))["curves"]
@@ -91,10 +95,10 @@ def main(run_dir, interval=10, games=96):
             ax.plot([p["step"] for p in pts], [p["elo"] for p in pts],
                     label=f"reference {name}", **style)
     ax.plot([p["step"] for p in points], [p["elo"] for p in points],
-            "k-o", lw=2.2, ms=3, label="minizero_tpu g-az n=16 (this run)")
+            "k-o", lw=2.2, ms=3, label=f"minizero_tpu this run ({cfg.env_name})")
     ax.set_xlabel("training steps")
     ax.set_ylabel("Elo (sequential self-ladder, +/-1000 cap)")
-    ax.set_title("Go 9x9 strength vs reference published curves")
+    ax.set_title(f"{cfg.env_name} strength vs reference published curves")
     ax.legend(fontsize=7)
     ax.grid(alpha=0.3)
     png = os.path.join(run_dir, "elo_curve_vs_reference.png")

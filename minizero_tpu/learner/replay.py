@@ -76,6 +76,21 @@ class ReplayBuffer:
         self._flat_cum: Optional[np.ndarray] = None  # f64 cumsum
         self._flat_vt: Optional[np.ndarray] = None  # f32 concat of value_targets
         self._flat_offsets: Optional[np.ndarray] = None  # i64[G] game starts
+        # flat DATA caches (vectorized batch assembly: one fancy-index gather
+        # per batch replaces the per-sample python copy loop, which measured
+        # ~90 ms/step at b=1024 on the training host). Rebuilt once per
+        # iteration (first sample after the window changed); records are
+        # re-pointed at views into the flat arrays so memory stays ~1x.
+        self._data_version = -1
+        self._flat_feats: Optional[np.ndarray] = None  # u8[T, H, W, C]
+        self._flat_policy: Optional[np.ndarray] = None  # f16[T, A]
+        self._flat_actions: Optional[np.ndarray] = None  # i32[T]
+        self._flat_rewards: Optional[np.ndarray] = None  # f32[T]
+        self._flat_lengths: Optional[np.ndarray] = None  # i64[G]
+        self._flat_results: Optional[np.ndarray] = None  # f32[G]
+        self._dr_starts: Optional[np.ndarray] = None  # i64[G] data_range lo
+        self._dr_sizes: Optional[np.ndarray] = None  # i64[G] data_range sizes
+        self._dr_cum: Optional[np.ndarray] = None  # i64[G] cumsum of range sizes
 
     def __len__(self) -> int:
         return len(self.games)
@@ -175,6 +190,50 @@ class ReplayBuffer:
             self._flat_cum = np.cumsum(self._flat_pri, dtype=np.float64)
             self._cum_dirty = False
 
+    # ------------------------------------------------------ flat data caches
+    #: games whose concatenated features exceed this are sampled through the
+    #: per-game fallback loop (Atari pixel windows can reach hundreds of GB;
+    #: board-game windows are ~1 GB bit-packed)
+    FLAT_FEATURE_CACHE_MAX_BYTES = 32 << 30
+
+    def _ensure_flat_data(self) -> bool:
+        """(Re)build the concatenated feature/policy/action/reward caches.
+
+        Returns True when the flat feature cache is usable. After the concat,
+        every record's ``features``/``policy`` become views into the flat
+        arrays, so the per-game originals free and steady-state memory is one
+        copy plus a transient during the rebuild."""
+        self._ensure_flat()
+        if self._data_version == self._games_version:
+            return self._flat_feats is not None
+        self._data_version = self._games_version
+        games = self.games
+        self._flat_lengths = np.array([g.length for g in games], np.int64)
+        self._flat_results = np.array([g.result for g in games], np.float32)
+        self._dr_starts = np.array([g.data_range[0] for g in games], np.int64)
+        self._dr_sizes = np.array(
+            [g.data_range[1] - g.data_range[0] + 1 for g in games], np.int64)
+        self._dr_cum = np.cumsum(self._dr_sizes)
+        feat_shapes = {g.features.shape[1:] for g in games}
+        total_bytes = sum(g.features.nbytes for g in games)
+        if (not games or len(feat_shapes) != 1
+                or total_bytes > self.FLAT_FEATURE_CACHE_MAX_BYTES):
+            self._flat_feats = self._flat_policy = None
+            self._flat_actions = self._flat_rewards = None
+            return False
+        self._flat_feats = np.concatenate([g.features for g in games])
+        self._flat_policy = np.concatenate(
+            [np.asarray(g.policy, np.float16) for g in games])
+        self._flat_actions = np.concatenate(
+            [np.asarray(g.actions, np.int32) for g in games])
+        self._flat_rewards = np.concatenate(
+            [np.asarray(g.rewards, np.float32) for g in games])
+        for i, g in enumerate(games):
+            o = int(self._flat_offsets[i])
+            g.features = self._flat_feats[o:o + g.length]
+            g.policy = self._flat_policy[o:o + g.length]
+        return True
+
     # ------------------------------------------------------------- sampling
     def sample_indices(self, batch_size: int, rng: np.random.RandomState):
         """Two-level (game, position) sampling (reference
@@ -183,12 +242,11 @@ class ReplayBuffer:
         if not self.cfg.learner_use_per:
             # fast uniform path: every in-range position equally likely, so
             # sample flat position indices and invert via cumulative lengths
-            lengths = np.array([g.data_range[1] - g.data_range[0] + 1 for g in self.games], np.int64)
-            starts = np.array([g.data_range[0] for g in self.games], np.int64)
-            cum = np.cumsum(lengths)
+            self._ensure_flat_data()
+            cum, starts = self._dr_cum, self._dr_starts
             flat = rng.randint(cum[-1], size=batch_size)
             game_ids = np.searchsorted(cum, flat, side="right")
-            pos_ids = flat - (cum[game_ids] - lengths[game_ids]) + starts[game_ids]
+            pos_ids = flat - (cum[game_ids] - self._dr_sizes[game_ids]) + starts[game_ids]
             return game_ids, pos_ids, np.ones(batch_size, np.float32)
 
         # flat weighted sampling (distribution-identical to the reference's
@@ -213,20 +271,26 @@ class ReplayBuffer:
         applied later on device."""
         game_ids, pos_ids, loss_scale = self.sample_indices(batch_size, rng)
         spec = self.spec
-        # records may hold bit-packed planes — follow their channel count
-        feat_c = self.games[game_ids[0]].features.shape[-1]
-        feats = np.empty((batch_size, spec.input_height, spec.input_width, feat_c), np.uint8)
-        # f16 end to end: records store f16 and the train step upcasts on
-        # device, so the host->device batch stream stays half-width
-        policy = np.empty((batch_size, spec.action_size), np.float16)
-        value = np.empty((batch_size,), np.float32)
-        for i, (g, p) in enumerate(zip(game_ids, pos_ids)):
-            rec = self.games[g]
-            feats[i] = rec.features[p]
-            policy[i] = rec.policy[p]
+        if self._ensure_flat_data():
+            flat = self._flat_offsets[game_ids] + pos_ids
+            # f16 end to end: records store f16 and the train step upcasts
+            # on device, so the host->device batch stream stays half-width
+            feats = self._flat_feats[flat]
+            policy = self._flat_policy[flat]
             # board-game value target = game return from P1's perspective
             # (reference TicTacToeEnvLoader::getValue -> getReturn())
-            value[i] = rec.result
+            value = self._flat_results[game_ids]
+        else:
+            # records may hold bit-packed planes — follow their channel count
+            feat_c = self.games[game_ids[0]].features.shape[-1]
+            feats = np.empty((batch_size, spec.input_height, spec.input_width, feat_c), np.uint8)
+            policy = np.empty((batch_size, spec.action_size), np.float16)
+            value = np.empty((batch_size,), np.float32)
+            for i, (g, p) in enumerate(zip(game_ids, pos_ids)):
+                rec = self.games[g]
+                feats[i] = rec.features[p]
+                policy[i] = rec.policy[p]
+                value[i] = rec.result
         return {
             "features": feats,
             "policy": policy,
@@ -242,28 +306,50 @@ class ReplayBuffer:
         spec = self.spec
         k = self.cfg.learner_muzero_unrolling_step
         a = spec.action_size
-        feat_c = self.games[game_ids[0]].features.shape[-1]
-        feats = np.empty((batch_size, spec.input_height, spec.input_width, feat_c), np.uint8)
-        actions = np.empty((batch_size, k), np.int32)
-        policy = np.empty((batch_size, k + 1, a), np.float16)
-        value = np.empty((batch_size, k + 1), np.float32)
-        reward = np.zeros((batch_size, k), np.float32)
         uniform = np.full((a,), 1.0 / a, np.float16)
         hidden_positions = spec.hidden_height * spec.hidden_width
-        for i, (g, p) in enumerate(zip(game_ids, pos_ids)):
-            rec = self.games[g]
-            feats[i] = rec.features[p]
-            for step in range(k + 1):
-                pos = p + step
-                inside = pos < rec.length
-                if step < k:
-                    # absorbing action features use a random action
-                    # (reference tictactoe.cpp:147-152)
-                    actions[i, step] = rec.actions[pos] if inside else rng.randint(hidden_positions)
-                    reward[i, step] = rec.rewards[pos] if inside else 0.0
-                # absorbing policy is uniform (reference base_env.h:262-264)
-                policy[i, step] = rec.policy[pos] if inside else uniform
-                value[i, step] = self.value_target(rec, pos)
+        if self._ensure_flat_data():
+            offs = self._flat_offsets[game_ids]
+            length = self._flat_lengths[game_ids]
+            pos = pos_ids[:, None] + np.arange(k + 1)[None, :]  # [B, k+1]
+            inside = pos < length[:, None]
+            flat = offs[:, None] + np.minimum(pos, np.maximum(length - 1, 0)[:, None])
+            feats = self._flat_feats[offs + pos_ids]
+            # absorbing policy is uniform (reference base_env.h:262-264);
+            # absorbing action features use a random action
+            # (reference tictactoe.cpp:147-152)
+            policy = np.where(inside[..., None], self._flat_policy[flat], uniform)
+            actions = np.where(
+                inside[:, :k], self._flat_actions[flat[:, :k]],
+                rng.randint(hidden_positions, size=(batch_size, k))
+            ).astype(np.int32)
+            reward = np.where(
+                inside[:, :k], self._flat_rewards[flat[:, :k]], 0.0
+            ).astype(np.float32)
+            if self.cfg.learner_n_step_return <= 0:
+                value = np.broadcast_to(
+                    self._flat_results[game_ids][:, None],
+                    (batch_size, k + 1)).astype(np.float32).copy()
+            else:
+                value = np.where(inside, self._flat_vt[flat], 0.0).astype(np.float32)
+        else:
+            feat_c = self.games[game_ids[0]].features.shape[-1]
+            feats = np.empty((batch_size, spec.input_height, spec.input_width, feat_c), np.uint8)
+            actions = np.empty((batch_size, k), np.int32)
+            policy = np.empty((batch_size, k + 1, a), np.float16)
+            value = np.empty((batch_size, k + 1), np.float32)
+            reward = np.zeros((batch_size, k), np.float32)
+            for i, (g, p) in enumerate(zip(game_ids, pos_ids)):
+                rec = self.games[g]
+                feats[i] = rec.features[p]
+                for step in range(k + 1):
+                    pos = p + step
+                    inside = pos < rec.length
+                    if step < k:
+                        actions[i, step] = rec.actions[pos] if inside else rng.randint(hidden_positions)
+                        reward[i, step] = rec.rewards[pos] if inside else 0.0
+                    policy[i, step] = rec.policy[pos] if inside else uniform
+                    value[i, step] = self.value_target(rec, pos)
         return {
             "features": feats,
             "actions": actions,

@@ -194,10 +194,13 @@ def _play_match_synchronized(env, cfg, net, variables_a, variables_b,
 
     chunk = jax.jit(chunk_impl)
 
+    from minizero_tpu.utils.progress import ProgressBar
+
     rng = jax.random.PRNGKey(seed)
     a_wins = b_wins = draws = 0
     played = 0
     round_idx = 0
+    bar = ProgressBar(num_games, "eval games ")
     while played < num_games:
         this_round = min(batch, num_games - played)
         a_is_p1 = round_idx % 2 == 0
@@ -224,7 +227,9 @@ def _play_match_synchronized(env, cfg, net, variables_a, variables_b,
             else:
                 draws += 1
             played += 1
+        bar.step(this_round)
         round_idx += 1
+    bar.close()
     return MatchResult(p1_wins=a_wins, p2_wins=b_wins, draws=draws)
 
 

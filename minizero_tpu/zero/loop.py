@@ -662,7 +662,11 @@ class ZeroLoop:
                 loaded += 1
             pending_recs.clear()
 
+        from minizero_tpu.utils.progress import ProgressBar
+
+        bar = ProgressBar(start_iter - lo + 1, "rebuild replay window ")
         for it in range(lo, start_iter + 1):
+            bar.step()
             path = os.path.join(sgf_dir, f"{it}{shard}.sgf")
             if not os.path.exists(path):
                 continue
@@ -693,6 +697,7 @@ class ZeroLoop:
                     if len(pending_recs) >= 256:
                         flush_pending()
         flush_pending()
+        bar.close()
         self.cfg = self.cfg.replace(zero_start_iteration=start_iter)
         self.log(f"[Resume] iteration {start_iter}, {loaded} games reloaded")
         return start_iter

@@ -200,36 +200,35 @@ def _play_match_synchronized(env, cfg, net, variables_a, variables_b,
     a_wins = b_wins = draws = 0
     played = 0
     round_idx = 0
-    bar = ProgressBar(num_games, "eval games ")
-    while played < num_games:
-        this_round = min(batch, num_games - played)
-        a_is_p1 = round_idx % 2 == 0
-        rng, k_init = jax.random.split(rng)
-        states = engine.init_batch(batch, k_init)
-        done = jnp.zeros((batch,), bool)
-        score = jnp.zeros((batch,), jnp.float32)
-        vf, vs = (variables_a, variables_b) if a_is_p1 else (variables_b, variables_a)
-        for _ in range(-(-cap // plies_per_dispatch)):
-            rng, k = jax.random.split(rng)
-            states, done, score, rng = chunk(vf, vs, states, done, score, k)
-            if bool(np.asarray(done).all()):
-                break
-        scores = np.asarray(score)[:this_round]
-        dn = np.asarray(done)[:this_round]
-        for i in range(this_round):
-            s = float(scores[i]) if dn[i] else 0.0  # cap hit -> draw
-            if s > 0:
-                a_wins += 1 if a_is_p1 else 0
-                b_wins += 0 if a_is_p1 else 1
-            elif s < 0:
-                b_wins += 1 if a_is_p1 else 0
-                a_wins += 0 if a_is_p1 else 1
-            else:
-                draws += 1
-            played += 1
-        bar.step(this_round)
-        round_idx += 1
-    bar.close()
+    with ProgressBar(num_games, "eval games ") as bar:
+        while played < num_games:
+            this_round = min(batch, num_games - played)
+            a_is_p1 = round_idx % 2 == 0
+            rng, k_init = jax.random.split(rng)
+            states = engine.init_batch(batch, k_init)
+            done = jnp.zeros((batch,), bool)
+            score = jnp.zeros((batch,), jnp.float32)
+            vf, vs = (variables_a, variables_b) if a_is_p1 else (variables_b, variables_a)
+            for _ in range(-(-cap // plies_per_dispatch)):
+                rng, k = jax.random.split(rng)
+                states, done, score, rng = chunk(vf, vs, states, done, score, k)
+                if bool(np.asarray(done).all()):
+                    break
+            scores = np.asarray(score)[:this_round]
+            dn = np.asarray(done)[:this_round]
+            for i in range(this_round):
+                s = float(scores[i]) if dn[i] else 0.0  # cap hit -> draw
+                if s > 0:
+                    a_wins += 1 if a_is_p1 else 0
+                    b_wins += 0 if a_is_p1 else 1
+                elif s < 0:
+                    b_wins += 1 if a_is_p1 else 0
+                    a_wins += 0 if a_is_p1 else 1
+                else:
+                    draws += 1
+                played += 1
+            bar.step(this_round)
+            round_idx += 1
     return MatchResult(p1_wins=a_wins, p2_wins=b_wins, draws=draws)
 
 

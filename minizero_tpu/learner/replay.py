@@ -206,6 +206,11 @@ class ReplayBuffer:
         self._ensure_flat()
         if self._data_version == self._games_version:
             return self._flat_feats is not None
+        # invalidate BEFORE rebuilding: a mid-rebuild exception (e.g.
+        # MemoryError on the concat transient) must not leave stale arrays
+        # paired with new offsets behind a version that claims validity
+        self._flat_feats = self._flat_policy = None
+        self._flat_actions = self._flat_rewards = None
         self._data_version = self._games_version
         games = self.games
         self._flat_lengths = np.array([g.length for g in games], np.int64)

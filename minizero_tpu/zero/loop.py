@@ -544,8 +544,13 @@ class ZeroLoop:
                 "state": serialization.to_bytes(self.state),
                 "config": self.cfg.to_string(),
             }
-            with open(path, "wb") as f:
+            # atomic write: a crash/SIGKILL mid-dump must never leave a
+            # truncated latest ckpt (resume picks the newest; the
+            # supervisor would then relaunch into the same EOFError forever)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
                 pickle.dump(payload, f)
+            os.replace(tmp, path)
         if self.num_procs > 1:
             from jax.experimental.multihost_utils import sync_global_devices
 
@@ -643,7 +648,17 @@ class ZeroLoop:
         ) if os.path.isdir(model_dir) else []
         if not ckpts:
             return self.cfg.zero_start_iteration
-        self.load_checkpoint(os.path.join(model_dir, ckpts[-1]))
+        # newest first; skip unloadable files (e.g. truncated by a crash on
+        # an older build without the atomic rename) instead of wedging the
+        # supervisor's relaunch loop on a permanent load error
+        for name in reversed(ckpts):
+            try:
+                self.load_checkpoint(os.path.join(model_dir, name))
+                break
+            except Exception as exc:  # noqa: BLE001 - any broken ckpt: try older
+                self.log(f"[Resume] skipping unreadable checkpoint {name}: {exc}")
+        else:
+            return self.cfg.zero_start_iteration
         start_iter = int(self.state.step) // max(self.cfg.learner_training_step, 1)
         sgf_dir = os.path.join(self.run_dir, "sgf")
         lo = max(1, start_iter - self.cfg.zero_replay_buffer + 1)
@@ -665,39 +680,41 @@ class ZeroLoop:
         from minizero_tpu.utils.progress import ProgressBar
 
         bar = ProgressBar(start_iter - lo + 1, "rebuild replay window ")
-        for it in range(lo, start_iter + 1):
-            bar.step()
-            path = os.path.join(sgf_dir, f"{it}{shard}.sgf")
-            if not os.path.exists(path):
-                continue
-            for line in open(path):
-                line = line.strip()
-                if not line:
+        try:
+            for it in range(lo, start_iter + 1):
+                bar.step()
+                path = os.path.join(sgf_dir, f"{it}{shard}.sgf")
+                if not os.path.exists(path):
                     continue
-                if self.is_host_env:
-                    # atari: features come from the record's OBS frames, the
-                    # episodic-life cut flags from its LL tag (no device
-                    # replay possible for a host env)
-                    from minizero_tpu.envs.atari import rebuild_features_from_frames
-                    from minizero_tpu.tools.obs import unpack_observations
+                for line in open(path):
+                    line = line.strip()
+                    if not line:
+                        continue
+                    if self.is_host_env:
+                        # atari: features come from the record's OBS frames,
+                        # the episodic-life cut flags from its LL tag (no
+                        # device replay possible for a host env)
+                        from minizero_tpu.envs.atari import rebuild_features_from_frames
+                        from minizero_tpu.tools.obs import unpack_observations
 
-                    tags, rec = game_record_from_string(line, self.env.spec.action_size)
-                    if "OBS" not in tags:
-                        continue  # stripped records are not trainable
-                    rec.features = rebuild_features_from_frames(
-                        unpack_observations(tags["OBS"]), rec.actions
-                    )
-                    if "LL" in tags:
-                        rec.lives_lost = np.asarray([c == "1" for c in tags["LL"]], bool)
-                    self.buffer.add_game(rec)
-                    loaded += 1
-                else:
-                    _, rec = game_record_from_string(line, self.env.spec.action_size)
-                    pending_recs.append(rec)
-                    if len(pending_recs) >= 256:
-                        flush_pending()
-        flush_pending()
-        bar.close()
+                        tags, rec = game_record_from_string(line, self.env.spec.action_size)
+                        if "OBS" not in tags:
+                            continue  # stripped records are not trainable
+                        rec.features = rebuild_features_from_frames(
+                            unpack_observations(tags["OBS"]), rec.actions
+                        )
+                        if "LL" in tags:
+                            rec.lives_lost = np.asarray([c == "1" for c in tags["LL"]], bool)
+                        self.buffer.add_game(rec)
+                        loaded += 1
+                    else:
+                        _, rec = game_record_from_string(line, self.env.spec.action_size)
+                        pending_recs.append(rec)
+                        if len(pending_recs) >= 256:
+                            flush_pending()
+            flush_pending()
+        finally:
+            bar.close()
         self.cfg = self.cfg.replace(zero_start_iteration=start_iter)
         self.log(f"[Resume] iteration {start_iter}, {loaded} games reloaded")
         return start_iter

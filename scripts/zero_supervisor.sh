@@ -20,6 +20,11 @@ max_restarts="${3:-50}"
 stall_secs="${4:-900}"
 log="${run_dir}.launch.log"
 
+# never orphan the trainer: killing the supervisor must kill the child,
+# or a supervisor restart would run two trainers against one run_dir
+child=""
+trap '[ -n "$child" ] && kill "$child" 2>/dev/null' EXIT TERM INT
+
 progress_file() {
     # newest of Training.log / op.log — both advance during an iteration
     ls -t "$run_dir/Training.log" "$run_dir/op.log" 2>/dev/null | head -1
@@ -41,7 +46,14 @@ for attempt in $(seq 0 "$max_restarts"); do
             run_for=$(( $(date +%s) - start_ts ))
             # allow a long first-compile window before enforcing staleness
             if [ "$age" -gt "$stall_secs" ] && [ "$run_for" -gt "$stall_secs" ]; then
-                echo "[supervisor] stalled ${age}s, killing $child" >> "$log"
+                # a long remote jit compile is indistinguishable from a
+                # wedge (both idle the client), so each stall-kill doubles
+                # the window: a legitimate slow compile eventually fits,
+                # a real wedge still gets collected
+                echo "[supervisor] stalled ${age}s, killing $child (next window $((stall_secs * 2))s)" >> "$log"
+                stall_secs=$((stall_secs * 2))
+                kill "$child" 2>/dev/null
+                sleep 10
                 kill -9 "$child" 2>/dev/null
                 break
             fi

@@ -685,8 +685,17 @@ class ZeroLoop:
                 bar.step()
                 path = os.path.join(sgf_dir, f"{it}{shard}.sgf")
                 if not os.path.exists(path):
-                    continue
-                for line in open(path):
+                    # record shards may be stored gzipped (checkpointed runs
+                    # ship a compressed window across machines)
+                    if os.path.exists(path + ".gz"):
+                        import gzip
+
+                        opener = gzip.open(path + ".gz", "rt")
+                    else:
+                        continue
+                else:
+                    opener = open(path)
+                for line in opener:
                     line = line.strip()
                     if not line:
                         continue

@@ -189,6 +189,34 @@ def main(batch_size: int = 1024, measure_moves: int = 12) -> None:
     sims_per_s = env_steps_per_s * (cfg.actor_num_simulation + 1)
     games_per_hour = env_steps_per_s / 110.0 * 3600.0  # ~110 moves per 9x9 game
 
+    def emit(extras):
+        print(
+            json.dumps(
+                {
+                    "metric": "selfplay_env_steps_per_s_go9_gaz_1chip",
+                    "value": round(env_steps_per_s, 1),
+                    "unit": "env-steps/s",
+                    "vs_baseline": round(env_steps_per_s / REFERENCE_ENV_STEPS_PER_S, 3),
+                    "detail": {
+                        "batch_games": batch_size,
+                        "moves_timed": measure_moves,
+                        "seconds": round(dt, 3),
+                        "mcts_sims_per_s": round(sims_per_s, 1),
+                        "est_games_per_hour": round(games_per_hour, 1),
+                        "device": str(jax.devices()[0]),
+                        **extras,
+                    },
+                }
+            ),
+            flush=True,
+        )
+
+    # emit the headline IMMEDIATELY: the extras below compile several big
+    # shapes (az n=200, mz n=50) which on a cold cache can exceed the
+    # driver's patience over the tunnel — a hang there must not cost the
+    # primary metric. A second line with extras follows; take the last line.
+    emit({"extras": "pending"})
+
     # secondary reference-headline configs + per-op device attribution
     # (VERDICT r1 #2/#3); each guarded so a failure can't kill the headline
     extras = {}
@@ -204,25 +232,7 @@ def main(batch_size: int = 1024, measure_moves: int = 12) -> None:
         except Exception as e:  # noqa: BLE001
             extras[key] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
-    print(
-        json.dumps(
-            {
-                "metric": "selfplay_env_steps_per_s_go9_gaz_1chip",
-                "value": round(env_steps_per_s, 1),
-                "unit": "env-steps/s",
-                "vs_baseline": round(env_steps_per_s / REFERENCE_ENV_STEPS_PER_S, 3),
-                "detail": {
-                    "batch_games": batch_size,
-                    "moves_timed": measure_moves,
-                    "seconds": round(dt, 3),
-                    "mcts_sims_per_s": round(sims_per_s, 1),
-                    "est_games_per_hour": round(games_per_hour, 1),
-                    "device": str(jax.devices()[0]),
-                    **extras,
-                },
-            }
-        )
-    )
+    emit(extras)
 
 
 if __name__ == "__main__":

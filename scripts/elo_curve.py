@@ -21,6 +21,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+# env vars cannot override the baked axon platform config — this can
+if os.environ.get("MINIZERO_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["MINIZERO_PLATFORM"])
 
 
 def main(run_dir, interval=10, games=96):
@@ -88,7 +91,7 @@ def main(run_dir, interval=10, games=96):
     ref_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                             "refbench", ref_name)
     fig, ax = plt.subplots(figsize=(8, 5))
-    if os.path.exists(ref_path):
+    if ref_name and os.path.isfile(ref_path):
         ref = json.load(open(ref_path))["curves"]
         for name, pts in ref.items():
             style = dict(lw=2.2, alpha=0.9) if name == "g-az n=16" else dict(lw=1.0, alpha=0.35)

@@ -437,6 +437,32 @@ class ZeroLoop:
         # no longer needs a shorter chunk; the refresh lag stays < K steps
         chunk = max(1, min(cfg.learner_training_display_step, 100))
         done = 0
+        # with PER off, metrics materialization is deferred one chunk so the
+        # next chunk's host sampling + H2D transfer overlap the device scan
+        # (jax dispatch is async; np.asarray is the only block point). PER
+        # keeps the synchronous order: its sampling must see the freshest
+        # priorities (the documented lag stays < K steps, not 2K).
+        overlap = not cfg.learner_use_per
+        pending = None  # (metrics, sent_steps) awaiting materialization
+        # host-side step counter: int(self.state.step) would block on the
+        # freshest chunk and serialize exactly what the deferral overlaps
+        base_step = int(self.state.step)
+
+        def drain(metrics, sent_steps):
+            nonlocal totals, shown
+            sums = {key: np.asarray(val) for key, val in metrics.items()}
+            for key, val in sums.items():
+                totals[key] = totals.get(key, 0.0) + float(val.sum())
+            if sent_steps - shown >= cfg.learner_training_display_step:
+                avg = {k2: v / (sent_steps - shown) for k2, v in totals.items()}
+                self.op_log(
+                    f"nn step {base_step + sent_steps}, "
+                    f"lr: {cfg.learner_learning_rate}. "
+                    + " ".join(f"{k2}: {v:.5f}" for k2, v in sorted(avg.items()))
+                )
+                totals = {}
+                shown = sent_steps
+
         while done < cfg.learner_training_step:
             k_steps = min(chunk, cfg.learner_training_step - done)
             batches = []
@@ -455,23 +481,20 @@ class ZeroLoop:
             stacked["features"] = self._feat_cast(stacked["features"])
             self.rng, k = jax.random.split(self.rng)
             self.state, metrics = self._train_chunk(self.state, stacked, k)
+            done += k_steps
             if cfg.learner_use_per and "_new_values" in metrics:
                 new_values = np.asarray(metrics.pop("_new_values"))  # [K, B]
                 for i, sampled_index in enumerate(indices):
                     self.buffer.refresh_priorities(sampled_index, new_values[i])
             metrics.pop("_new_values", None)
-            sums = {key: np.asarray(val) for key, val in metrics.items()}
-            done += k_steps
-            for key, val in sums.items():
-                totals[key] = totals.get(key, 0.0) + float(val.sum())
-            if done - shown >= cfg.learner_training_display_step:
-                avg = {k2: v / (done - shown) for k2, v in totals.items()}
-                self.op_log(
-                    f"nn step {int(self.state.step)}, lr: {cfg.learner_learning_rate}. "
-                    + " ".join(f"{k2}: {v:.5f}" for k2, v in sorted(avg.items()))
-                )
-                totals = {}
-                shown = done
+            if not overlap:
+                drain(metrics, done)
+                continue
+            if pending is not None:
+                drain(*pending)
+            pending = (metrics, done)
+        if pending is not None:
+            drain(*pending)
 
     def _optimize_stepwise(self, iteration: int) -> None:
         cfg = self.cfg

@@ -760,9 +760,12 @@ class ZeroLoop:
             self.optimize_iteration(iteration)
             self.save_checkpoint()
             try:
-                # regenerate analysis plots each iteration (reference
-                # learner/train.py:231); host-0 only under multi-host
-                if self.is_main:
+                # regenerate analysis plots every few iterations + at the end
+                # (the reference's analysis.py is a manual tool; auto-running
+                # it per iteration costs seconds of matplotlib + full-log
+                # re-parsing that grow with the run); host-0 only
+                if self.is_main and (
+                        iteration % 5 == 0 or iteration == cfg.zero_end_iteration):
                     from minizero_tpu.tools.analysis import analysis
 
                     analysis(self.run_dir)

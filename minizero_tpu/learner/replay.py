@@ -133,9 +133,10 @@ class ReplayBuffer:
 
     def value_target(self, rec: GameRecord, pos: int) -> float:
         """Board games: the game return; n-step games: the n-step value
-        (0 past the end, reference atari.h:115)."""
+        (0 past the end in BOTH cases — reference base_env.h:278 /
+        atari.h:115)."""
         if self.cfg.learner_n_step_return <= 0:
-            return rec.result
+            return rec.result if pos < rec.length else 0.0
         vt = self._ensure_value_targets(rec)
         return float(vt[pos]) if pos < rec.length else 0.0
 
@@ -226,13 +227,18 @@ class ReplayBuffer:
             self._flat_feats = self._flat_policy = None
             self._flat_actions = self._flat_rewards = None
             return False
-        self._flat_feats = np.concatenate([g.features for g in games])
+        # build into locals and publish _flat_feats LAST: a mid-build
+        # exception (e.g. MemoryError) must leave the cache invalid (feats
+        # None -> callers fall back to the per-game path) rather than half
+        # built behind a version that claims validity
+        flat_feats = np.concatenate([g.features for g in games])
         self._flat_policy = np.concatenate(
             [np.asarray(g.policy, np.float16) for g in games])
         self._flat_actions = np.concatenate(
             [np.asarray(g.actions, np.int32) for g in games])
         self._flat_rewards = np.concatenate(
             [np.asarray(g.rewards, np.float32) for g in games])
+        self._flat_feats = flat_feats
         for i, g in enumerate(games):
             o = int(self._flat_offsets[i])
             g.features = self._flat_feats[o:o + g.length]
@@ -332,9 +338,11 @@ class ReplayBuffer:
                 inside[:, :k], self._flat_rewards[flat[:, :k]], 0.0
             ).astype(np.float32)
             if self.cfg.learner_n_step_return <= 0:
-                value = np.broadcast_to(
-                    self._flat_results[game_ids][:, None],
-                    (batch_size, k + 1)).astype(np.float32).copy()
+                # absorbing positions train toward 0, not the game result
+                # (reference base_env.h:278 getValue: pos past the end -> 0)
+                value = np.where(
+                    inside, self._flat_results[game_ids][:, None], 0.0
+                ).astype(np.float32)
             else:
                 value = np.where(inside, self._flat_vt[flat], 0.0).astype(np.float32)
         else:

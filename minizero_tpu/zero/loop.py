@@ -718,7 +718,9 @@ class ZeroLoop:
                         continue
                 else:
                     opener = open(path)
-                for line in opener:
+                with opener:
+                    lines = [ln for ln in opener]
+                for line in lines:
                     line = line.strip()
                     if not line:
                         continue

@@ -12,6 +12,7 @@
 // Usage: parity_dump <model.pt> <out.jsonl> <games> <max_moves> <opening_stride> [conf]
 
 #include "alphazero_network.h"
+#include "muzero_network.h"
 #include "configuration.h"
 #include "configure_loader.h"
 #include "create_actor.h"
@@ -107,7 +108,14 @@ int main(int argc, char** argv)
     utils::Random::seed(config::program_seed);
 
     auto network = network::createNetwork(model_path, /*gpu_id=*/-1);
-    auto az = std::static_pointer_cast<network::AlphaZeroNetwork>(network);
+    const bool is_muzero = (network->getNetworkTypeName().rfind("muzero", 0) == 0);
+    std::shared_ptr<network::AlphaZeroNetwork> az;
+    std::shared_ptr<network::MuZeroNetwork> mz;
+    if (is_muzero) {
+        mz = std::static_pointer_cast<network::MuZeroNetwork>(network);
+    } else {
+        az = std::static_pointer_cast<network::AlphaZeroNetwork>(network);
+    }
     const uint64_t tree_node_size =
         static_cast<uint64_t>(config::actor_num_simulation + 1) * network->getActionSize();
     auto actor = std::static_pointer_cast<actor::ZeroActor>(
@@ -139,7 +147,13 @@ int main(int argc, char** argv)
             int sim_no = 0;
             while (!actor->isSearchDone()) {
                 actor->beforeNNEvaluation();
-                auto outputs = az->forward();
+                // MuZero: root sim uses initial inference, interiors recurrent
+                // (reference ZeroActor::beforeNNEvaluation, zero_actor.cpp:58-68)
+                auto outputs = is_muzero
+                                   ? (actor->getMCTS()->getNumSimulation() == 0
+                                          ? mz->initialInference()
+                                          : mz->recurrentInference())
+                                   : az->forward();
                 actor->afterNNEvaluation(outputs[actor->getNNEvaluationBatchIndex()]);
                 if (dbg_sims && g == 0 && move == std::atoi(dbg_sims)) {
                     std::ostringstream oss;

@@ -15,15 +15,23 @@
 set -u
 
 run_dir="${1:?run dir}"
-conf="${2:?conf_str}"
+conf="${2:?conf_str (or path to a .cfg file)}"
 max_restarts="${3:-50}"
 stall_secs="${4:-900}"
 log="${run_dir}.launch.log"
 
+# a conf that names an existing file is passed as -conf_file (lets a resume
+# reuse the exact ckpt-embedded config dumped to disk)
+conf_flag="-conf_str"
+[ -f "$conf" ] && conf_flag="-conf_file"
+
 # never orphan the trainer: killing the supervisor must kill the child,
-# or a supervisor restart would run two trainers against one run_dir
+# or a supervisor restart would run two trainers against one run_dir.
+# TERM/INT must also EXIT (not fall back into the relaunch loop), else
+# `kill <supervisor>` kills the current trainer and then restarts it.
 child=""
-trap '[ -n "$child" ] && kill "$child" 2>/dev/null' EXIT TERM INT
+trap '[ -n "$child" ] && kill "$child" 2>/dev/null' EXIT
+trap '[ -n "$child" ] && kill "$child" 2>/dev/null; trap - EXIT; exit 143' TERM INT
 
 progress_file() {
     # newest of Training.log / op.log — both advance during an iteration
@@ -33,7 +41,7 @@ progress_file() {
 for attempt in $(seq 0 "$max_restarts"); do
     start_ts=$(date +%s)
     echo "[supervisor] attempt $attempt: launching" >> "$log"
-    python -u -m minizero_tpu -mode zero -conf_str "$conf" -run_dir "$run_dir" \
+    python -u -m minizero_tpu -mode zero "$conf_flag" "$conf" -run_dir "$run_dir" \
         >> "$log" 2>&1 &
     child=$!
 

@@ -34,6 +34,12 @@ GAME_DIMS = {
 }
 
 POLICY_SCALE = 32.0  # logits = int_sum / 32 (soft enough that visits spread)
+# --- MuZero parity net constants (see muzero_parity_weights) -------------
+MZ_HIDDEN_CHANNELS = 4  # M: hidden state = [M, H, W] (torch) / [H, W, M] (jax)
+MZ_MOD = 16.0  # hidden entries live in [0, 16): h = t - 16*floor(t/16), exact
+MZ_POLICY_SCALE = 256.0  # logits = int_sum / 256 (hidden sums are larger)
+MZ_VALUE_SCALE = 16384.0  # value = clamp(int_sum / 2^14)
+MZ_DISCRETE_SIZE = 11  # atari-mode two-hot head size (bins -5..5)
 # tiny exact per-action offset (a * 2^-16) added to every logit so that no
 # two actions ever tie exactly: the reference sorts children with an
 # UNSTABLE std::sort on policy (zero_actor.cpp:225-228), so exact-tie
@@ -99,6 +105,137 @@ def jax_parity_network(game: str):
     variables = {"params": {
         "Wp": jnp.asarray(wp, jnp.float32),
         "Wv": jnp.asarray(wv, jnp.float32),
+    }}
+    return net, variables
+
+
+def muzero_parity_weights(game: str, seed: int = 20260821):
+    """Deterministic integer weights for the MuZero parity net.
+
+    The MuZero parity net keeps EVERY tensor exchanged between the torch
+    (reference) and jax (this repo) sides integer-valued so the recursion
+    through the dynamics net stays bitwise reproducible:
+
+      initial:   h0 = mod16(x_can  @ Wr)                    (representation)
+      recurrent: h' = mod16(h_flat @ Wd + a_can @ Wa)       (dynamics)
+      predict:   logits = h @ Wp / 256 + a * 2^-16
+                 value  = clamp(h @ Wv / 2^14, +/-0.96875)  (board "muzero")
+                 value  = onehot(mod11(h @ Wvd))            (atari two-hot)
+                 reward = onehot(mod11(h' @ Wrd))           (atari, recurrent)
+
+    mod16(t) = t - 16*floor(t/16) is EXACT in f32 (power-of-two divide);
+    all integer dot products stay < 2^24 so the sums are exact in any
+    order; mod11 uses a correctly-rounded /11 that is merely *identical*
+    across libraries rather than exact, which is all parity needs.
+    Canonical layouts put torch's NCHW flatten and the jax transpose on
+    the same flat index space (same trick as ``parity_weights``).
+
+    Returns dict of int8 arrays: Wr[C,H,W,K], Wd[K,K], Wa[Ca,H,W,K],
+    Wp[M,H,W,A], Wv[M,H,W], Wvd[M,H,W], Wrd[M,H,W]  (K = M*H*W, Ca = 1).
+    """
+    c, h, w, a = GAME_DIMS[game]
+    m = int(MZ_HIDDEN_CHANNELS)
+    k = m * h * w
+    rng = np.random.Generator(np.random.PCG64(seed + len(game) * 2003))
+    return {
+        "Wr": rng.integers(-3, 4, size=(c, h, w, k), dtype=np.int8),
+        "Wd": rng.integers(-2, 3, size=(k, k), dtype=np.int8),
+        "Wa": rng.integers(-7, 8, size=(1, h, w, k), dtype=np.int8),
+        "Wp": rng.integers(-7, 8, size=(m, h, w, a), dtype=np.int8),
+        "Wv": rng.integers(-3, 4, size=(m, h, w), dtype=np.int8),
+        "Wvd": rng.integers(-2, 3, size=(m, h, w), dtype=np.int8),
+        "Wrd": rng.integers(-2, 3, size=(m, h, w), dtype=np.int8),
+    }
+
+
+def jax_muzero_parity_network(game: str, atari_mode: bool = False):
+    """A Flax MuZeroNetwork-compatible parity net + its variables.
+
+    Duck-types ``models.muzero.MuZeroNetwork`` for ``SelfPlayEngine`` /
+    ``make_muzero_search``: ``apply(variables, feats, train=False,
+    method=net.initial_inference)`` and ``recurrent_inference(hidden,
+    action_plane)``. Hidden states are flat f32[B, K] integer-valued
+    vectors on the canonical (torch NCHW-flatten) index space.
+    """
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from minizero_tpu.models.muzero import MuZeroNetwork
+
+    c, h, w, a = GAME_DIMS[game]
+    m = int(MZ_HIDDEN_CHANNELS)
+    k = m * h * w
+    D = int(MZ_DISCRETE_SIZE)
+
+    def mod16(t):
+        return t - MZ_MOD * jnp.floor(t / MZ_MOD)
+
+    def mod_d(t):
+        b = t - float(D) * jnp.floor(t / float(D))
+        return jnp.clip(b, 0, D - 1).astype(jnp.int32)
+
+    class MZParityNet(MuZeroNetwork):
+        def setup(self):
+            z = nn.initializers.zeros
+            self.Wr = self.param("Wr", z, (c * h * w, k), jnp.float32)
+            self.Wd = self.param("Wd", z, (k, k), jnp.float32)
+            self.Wa = self.param("Wa", z, (h * w, k), jnp.float32)
+            self.Wp = self.param("Wp", z, (k, a), jnp.float32)
+            self.Wv = self.param("Wv", z, (k,), jnp.float32)
+            self.Wvd = self.param("Wvd", z, (k,), jnp.float32)
+            self.Wrd = self.param("Wrd", z, (k,), jnp.float32)
+
+        def _predict(self, hidden):
+            logits = (hidden @ self.Wp) / MZ_POLICY_SCALE + (
+                jnp.arange(a, dtype=jnp.float32) * ACTION_OFFSET)
+            out = {"policy_logit": logits, "policy": nn.softmax(logits, axis=-1)}
+            if self.atari_mode:
+                bins = mod_d(hidden @ self.Wvd)
+                out["value"] = (bins[:, None] == jnp.arange(D)[None, :]).astype(jnp.float32)
+            else:
+                v = jnp.clip((hidden @ self.Wv) / MZ_VALUE_SCALE,
+                             -VALUE_CLAMP, VALUE_CLAMP)
+                out["value"] = v[:, None]
+            return out
+
+        def initial_inference(self, state, train: bool = False):
+            x = jnp.transpose(state.astype(jnp.float32), (0, 3, 1, 2))
+            hidden = mod16(x.reshape(x.shape[0], c * h * w) @ self.Wr)
+            out = self._predict(hidden)
+            out["hidden_state"] = hidden
+            return out
+
+        def recurrent_inference(self, hidden_state, action_plane, train: bool = False):
+            ap = jnp.transpose(action_plane.astype(jnp.float32), (0, 3, 1, 2))
+            t = hidden_state @ self.Wd + ap.reshape(ap.shape[0], h * w) @ self.Wa
+            hidden = mod16(t)
+            out = self._predict(hidden)
+            out["hidden_state"] = hidden
+            if self.atari_mode:
+                bins = mod_d(hidden @ self.Wrd)
+                out["reward"] = (bins[:, None] == jnp.arange(D)[None, :]).astype(jnp.float32)
+            return out
+
+        def __call__(self, state, train: bool = False):
+            return self.initial_inference(state, train)
+
+    net = MZParityNet(
+        num_input_channels=c, input_height=h, input_width=w,
+        num_hidden_channels=m, hidden_height=h, hidden_width=w,
+        num_action_feature_channels=1, num_blocks=0, action_size=a,
+        num_value_hidden_channels=1,
+        discrete_value_size=D if atari_mode else 1,
+        atari_mode=atari_mode,
+    )
+    ws = muzero_parity_weights(game)
+    variables = {"params": {
+        "Wr": jnp.asarray(ws["Wr"], jnp.float32).reshape(c * h * w, k),
+        "Wd": jnp.asarray(ws["Wd"], jnp.float32),
+        "Wa": jnp.asarray(ws["Wa"], jnp.float32).reshape(h * w, k),
+        "Wp": jnp.asarray(ws["Wp"], jnp.float32).reshape(k, a),
+        "Wv": jnp.asarray(ws["Wv"], jnp.float32).reshape(k),
+        "Wvd": jnp.asarray(ws["Wvd"], jnp.float32).reshape(k),
+        "Wrd": jnp.asarray(ws["Wrd"], jnp.float32).reshape(k),
     }}
     return net, variables
 

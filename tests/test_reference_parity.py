@@ -37,7 +37,9 @@ import numpy as np
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from parity_common import feature_checksum, jax_parity_network, opening_actions  # noqa: E402
+from parity_common import (  # noqa: E402
+    feature_checksum, jax_muzero_parity_network, jax_parity_network,
+    opening_actions)
 
 from minizero_tpu.config import default_config
 from minizero_tpu.envs import make_env
@@ -56,14 +58,34 @@ COMMON_CONF = (
     "actor_select_action_by_softmax_count=false:"
     "actor_select_action_by_count=true"
 )
+# (dump file, game, conf_str, net kind) — net kind "alphazero" or "muzero";
+# the muzero rows exercise the reference's initial/recurrent inference
+# split, expand-all-actions interiors and reward-carrying backup
+# (zero_actor.cpp:58-68,231-245, muzero_network.h:95-117)
 CASES = [
-    ("go9_az16.jsonl", "go", "env_board_size=9:actor_num_simulation=16:actor_use_gumbel=false"),
-    ("go9_az50.jsonl", "go", "env_board_size=9:actor_num_simulation=50:actor_use_gumbel=false"),
+    ("go9_az16.jsonl", "go", "env_board_size=9:actor_num_simulation=16:actor_use_gumbel=false",
+     "alphazero"),
+    ("go9_az50.jsonl", "go", "env_board_size=9:actor_num_simulation=50:actor_use_gumbel=false",
+     "alphazero"),
     ("go9_gaz16.jsonl", "go",
-     "env_board_size=9:actor_num_simulation=16:actor_use_gumbel=true:actor_gumbel_sample_size=16"),
-    ("ttt_az16.jsonl", "tictactoe", "actor_num_simulation=16:actor_use_gumbel=false"),
+     "env_board_size=9:actor_num_simulation=16:actor_use_gumbel=true:actor_gumbel_sample_size=16",
+     "alphazero"),
+    ("ttt_az16.jsonl", "tictactoe", "actor_num_simulation=16:actor_use_gumbel=false",
+     "alphazero"),
     ("ttt_gaz16.jsonl", "tictactoe",
-     "actor_num_simulation=16:actor_use_gumbel=true:actor_gumbel_sample_size=4"),
+     "actor_num_simulation=16:actor_use_gumbel=true:actor_gumbel_sample_size=4",
+     "alphazero"),
+    ("ttt_mz16.jsonl", "tictactoe",
+     "actor_num_simulation=16:actor_use_gumbel=false:nn_type_name=muzero", "muzero"),
+    ("ttt_gmz16.jsonl", "tictactoe",
+     "actor_num_simulation=16:actor_use_gumbel=true:actor_gumbel_sample_size=4:"
+     "nn_type_name=muzero", "muzero"),
+    ("go9_mz16.jsonl", "go",
+     "env_board_size=9:actor_num_simulation=16:actor_use_gumbel=false:nn_type_name=muzero",
+     "muzero"),
+    ("go9_mz50.jsonl", "go",
+     "env_board_size=9:actor_num_simulation=50:actor_use_gumbel=false:nn_type_name=muzero",
+     "muzero"),
 ]
 
 
@@ -105,13 +127,16 @@ def my_feature_checksum(env, state):
     return feature_checksum(np.transpose(f, (2, 0, 1)) != 0)
 
 
-@pytest.mark.parametrize("dump,game,conf", CASES, ids=[c[0] for c in CASES])
-def test_reference_parity(dump, game, conf):
+@pytest.mark.parametrize("dump,game,conf,kind", CASES, ids=[c[0] for c in CASES])
+def test_reference_parity(dump, game, conf, kind):
     path = os.path.join(PARITY_DIR, dump)
     games = load_dump(path)
     cfg = default_config(game).load_string(COMMON_CONF + ":" + conf)
     env = make_env(cfg)
-    net, variables = jax_parity_network(game)
+    if kind == "muzero":
+        net, variables = jax_muzero_parity_network(game)
+    else:
+        net, variables = jax_parity_network(game)
     engine = SelfPlayEngine(env, cfg, net, use_bf16=False)
     spec = engine.spec
 

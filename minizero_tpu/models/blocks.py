@@ -15,6 +15,7 @@ from __future__ import annotations
 import math
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -92,14 +93,56 @@ class DiscreteValueHead(nn.Module):
         return nn.Dense(self.value_size)(x)
 
 
+@jax.custom_vjp
+def _minmax_normalize(flat: jnp.ndarray) -> jnp.ndarray:
+    """Per-row (x - min) / guarded(max - min).
+
+    Custom VJP for two reasons. (1) Correctness: jax's native min/max VJP
+    (tie-distributed via eq-masks) emits NaN gradients when fused into the
+    representation conv/BN backward under jit (observed on CPU XLA: grads
+    finite eagerly, NaN jitted). (2) Reference parity: torch's min/max
+    backward scatters into the SINGLE arg index (muzero_network.py:154-164
+    backprops through tensor.min/max), which is what this VJP implements —
+    as one-hot iota selects, not per-lane gathers (TPU-hostile, CLAUDE.md).
+    """
+    mn = jnp.min(flat, axis=-1, keepdims=True)
+    mx = jnp.max(flat, axis=-1, keepdims=True)
+    s = mx - mn
+    s = jnp.where(s < 1e-5, s + 1e-5, s)
+    return (flat - mn) / s
+
+
+def _minmax_normalize_fwd(flat):
+    mn = jnp.min(flat, axis=-1, keepdims=True)
+    mx = jnp.max(flat, axis=-1, keepdims=True)
+    s = mx - mn
+    s = jnp.where(s < 1e-5, s + 1e-5, s)
+    y = (flat - mn) / s
+    amin = jnp.argmin(flat, axis=-1, keepdims=True)
+    amax = jnp.argmax(flat, axis=-1, keepdims=True)
+    return y, (y, s, amin, amax)
+
+
+def _minmax_normalize_bwd(res, gy):
+    y, s, amin, amax = res
+    k = y.shape[-1]
+    iota = jnp.arange(k)
+    e_min = (iota == amin).astype(gy.dtype)  # one-hot [B, K]
+    e_max = (iota == amax).astype(gy.dtype)
+    # y = (x - mn)/s with mn = x[amin], s = x[amax] - x[amin]:
+    #   x̄ = ȳ/s − e_min·Σȳ/s − (e_max − e_min)·Σ(ȳ·y)/s
+    gsum = jnp.sum(gy, axis=-1, keepdims=True)
+    gysum = jnp.sum(gy * y, axis=-1, keepdims=True)
+    gx = (gy - e_min * gsum - (e_max - e_min) * gysum) / s
+    return (gx,)
+
+
+_minmax_normalize.defvjp(_minmax_normalize_fwd, _minmax_normalize_bwd)
+
+
 def scale_hidden_state(hidden_state: jnp.ndarray) -> jnp.ndarray:
     """Min-max scale each sample's hidden state to [0, 1]
     (reference muzero_network.py:154-164)."""
     b = hidden_state.shape[0]
     flat = hidden_state.reshape(b, -1)
-    min_val = jnp.min(flat, axis=-1, keepdims=True)
-    max_val = jnp.max(flat, axis=-1, keepdims=True)
-    scale = max_val - min_val
-    scale = jnp.where(scale < 1e-5, scale + 1e-5, scale)
-    flat = (flat - min_val) / scale
-    return flat.reshape(hidden_state.shape)
+    return _minmax_normalize(flat).reshape(hidden_state.shape)

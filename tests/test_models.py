@@ -63,3 +63,45 @@ def test_two_hot_roundtrip():
     np.testing.assert_allclose(
         np.asarray(from_discrete_value(enc)), np.asarray(invert_value(vals)), rtol=1e-4, atol=1e-4
     )
+
+
+def test_scale_hidden_state_grad_finite_under_jit():
+    """Regression: jax's tie-distributing min/max VJP emitted NaN gradients
+    when scale_hidden_state was fused into the representation conv/BN
+    backward under jit (grads were finite eagerly) — this silently turned
+    every MuZero training run into a constant-predictor (round-3 find).
+    The custom VJP (blocks._minmax_normalize) must stay finite jitted and
+    match torch's arg-index min/max backward semantics."""
+    import jax
+
+    from minizero_tpu.models.blocks import scale_hidden_state
+    from minizero_tpu.models.muzero import _Representation
+
+    rep = _Representation(32, 1)
+    x = jnp.asarray(
+        np.random.RandomState(0).randint(0, 2, (16, 3, 3, 4)).astype(np.float32))
+    v = rep.init(jax.random.PRNGKey(1), x, True)
+
+    def f(params):
+        out, _ = rep.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, x, True,
+            mutable=["batch_stats"])
+        return jnp.sum(scale_hidden_state(out) ** 2)
+
+    g = jax.jit(jax.grad(f))(v["params"])
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+    # VJP matches the native (eager) gradient on tie-free input
+    def pure(x2):
+        return jnp.sum(jnp.sin(scale_hidden_state(x2)) ** 2)
+
+    def native(x2):
+        mn = jnp.min(x2.reshape(8, -1), -1, keepdims=True)
+        mx = jnp.max(x2.reshape(8, -1), -1, keepdims=True)
+        s = jnp.where(mx - mn < 1e-5, mx - mn + 1e-5, mx - mn)
+        return jnp.sum(jnp.sin(((x2.reshape(8, -1) - mn) / s).reshape(x2.shape)) ** 2)
+
+    x2 = jnp.asarray(np.random.RandomState(3).randn(8, 5, 5, 2).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(pure)(x2)), np.asarray(jax.grad(native)(x2)), atol=1e-5)

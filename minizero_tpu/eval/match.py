@@ -83,6 +83,7 @@ def play_match(
     num_games: int = 100,
     seed: int = 0,
     max_moves: Optional[int] = None,
+    opening_random_plies: int = 0,
 ) -> MatchResult:
     """Head-to-head A-vs-B with alternating colours; returns A's result.
 
@@ -93,15 +94,25 @@ def play_match(
     mid-stream resets — so each ply needs ONE batched search (the mover's)
     instead of both engines searching every position, and whole rounds of
     plies run inside a single jitted scan per dispatch (per-move dispatch
-    over the TPU tunnel costs a host round trip each, CLAUDE.md). A's
-    colour alternates per round; finished slots freeze via masking.
+    over the TPU tunnel costs a host round trip each, CLAUDE.md). Colours
+    balance across the whole match via per-colour game budgets; finished
+    slots freeze via masking.
+
+    ``opening_random_plies``: play the first K plies uniformly at random
+    over legal moves (per slot) before either net moves. Deterministic
+    board eval otherwise collapses a whole batch to ONE distinct game per
+    colour for nets without per-search randomness — MuZero engines here,
+    where the reference's usual diversity source (random feature rotation)
+    does not apply (actor_use_random_rotation_features is AlphaZero-only,
+    configuration.cpp).
     """
     env = make_env(cfg)
     net = create_network(cfg, env.spec)
     if cfg.env_name in _ALTERNATING or any(
             cfg.env_name.startswith(p) for p in _ALTERNATING):
         return _play_match_synchronized(
-            env, cfg, net, variables_a, variables_b, num_games, seed, max_moves)
+            env, cfg, net, variables_a, variables_b, num_games, seed, max_moves,
+            opening_random_plies)
     engine_a = SelfPlayEngine(env, cfg, net, eval_mode=True)
     engine_b = SelfPlayEngine(env, cfg, net, eval_mode=True)
 
@@ -156,7 +167,8 @@ def play_match(
 
 def _play_match_synchronized(env, cfg, net, variables_a, variables_b,
                              num_games: int, seed: int,
-                             max_moves: Optional[int]) -> MatchResult:
+                             max_moves: Optional[int],
+                             opening_random_plies: int = 0) -> MatchResult:
     """Fast eval path: rounds of ply-synchronized games, one engine call
     per ply, M plies per jitted dispatch (see play_match docstring)."""
     import jax.numpy as jnp
@@ -166,8 +178,10 @@ def _play_match_synchronized(env, cfg, net, variables_a, variables_b,
     cap = max_moves or env.spec.max_game_length + 8
     plies_per_dispatch = 16
 
-    def chunk_impl(vars_first, vars_second, states, done, score, rng):
-        """M plies: alternating movers, finished slots frozen."""
+    def chunk_impl(vars_first, vars_second, states, done, score, rng, phase):
+        """M plies: alternating movers, finished slots frozen. ``phase``:
+        parity of the first ply in this chunk (non-zero after random
+        openings consumed plies)."""
 
         def ply(carry, swap):
             states, done, score, rng = carry
@@ -187,12 +201,29 @@ def _play_match_synchronized(env, cfg, net, variables_a, variables_b,
             done = keep | out.done
             return (states, done, score, rng), None
 
-        swaps = (jnp.arange(plies_per_dispatch) % 2).astype(jnp.int32)
+        swaps = ((jnp.arange(plies_per_dispatch) + phase) % 2).astype(jnp.int32)
         (states, done, score, rng), _ = jax.lax.scan(
             ply, (states, done, score, rng), swaps)
         return states, done, score, rng
 
     chunk = jax.jit(chunk_impl)
+
+    def openings_impl(states, rng):
+        """K uniform-random legal plies per slot (both nets see the same
+        opening; per-slot rng gives the batch distinct games)."""
+        def one(carry, _):
+            states, rng = carry
+            rng, k = jax.random.split(rng)
+            legal = jax.vmap(env.legal_mask)(states)
+            logits = jnp.where(legal, 0.0, -1e9)
+            acts = jax.random.categorical(k, logits, axis=-1).astype(jnp.int32)
+            states = jax.vmap(env.step)(states, acts)
+            return (states, rng), None
+        (states, rng), _ = jax.lax.scan(
+            one, (states, rng), None, length=opening_random_plies)
+        return states
+
+    openings = jax.jit(openings_impl)
 
     from minizero_tpu.utils.progress import ProgressBar
 
@@ -200,18 +231,33 @@ def _play_match_synchronized(env, cfg, net, variables_a, variables_b,
     a_wins = b_wins = draws = 0
     played = 0
     round_idx = 0
+    # colours must BALANCE across the whole match (reference self-eval.sh
+    # alternates per game pair): per-colour game budgets, counted per
+    # round, so e.g. num_games <= batch still plays half the games with A
+    # as P2 in a second round instead of all games with A as P1
+    quota = {True: (num_games + 1) // 2, False: num_games // 2}
     with ProgressBar(num_games, "eval games ") as bar:
         while played < num_games:
-            this_round = min(batch, num_games - played)
             a_is_p1 = round_idx % 2 == 0
+            round_idx += 1
+            this_round = min(batch, quota[a_is_p1])
+            if this_round <= 0:
+                continue
+            quota[a_is_p1] -= this_round
             rng, k_init = jax.random.split(rng)
             states = engine.init_batch(batch, k_init)
+            if opening_random_plies > 0:
+                # same opening seed for the A-as-P1 and A-as-P2 rounds of the
+                # same pair index -> colour-mirrored openings like twogtp
+                k_open = jax.random.fold_in(jax.random.PRNGKey(seed), (round_idx - 1) // 2)
+                states = openings(states, k_open)
             done = jnp.zeros((batch,), bool)
             score = jnp.zeros((batch,), jnp.float32)
             vf, vs = (variables_a, variables_b) if a_is_p1 else (variables_b, variables_a)
+            phase = jnp.int32(opening_random_plies % 2)
             for _ in range(-(-cap // plies_per_dispatch)):
                 rng, k = jax.random.split(rng)
-                states, done, score, rng = chunk(vf, vs, states, done, score, k)
+                states, done, score, rng = chunk(vf, vs, states, done, score, k, phase)
                 if bool(np.asarray(done).all()):
                     break
             scores = np.asarray(score)[:this_round]
@@ -228,7 +274,6 @@ def _play_match_synchronized(env, cfg, net, variables_a, variables_b,
                     draws += 1
                 played += 1
             bar.step(this_round)
-            round_idx += 1
     return MatchResult(p1_wins=a_wins, p2_wins=b_wins, draws=draws)
 
 

@@ -116,6 +116,15 @@ def test_eval_match_and_elo():
     assert r.games == 8
     assert 0.0 <= r.p1_win_rate <= 1.0
 
+    # colour balance: an engine-vs-ITSELF match must come out exactly even
+    # once wins are colour-paired (regression: per-round alternation gave
+    # one net 2/3 of the blacks when num_games <= batch). Rotation off so
+    # searches are deterministic and the A-as-P1/A-as-P2 rounds mirror.
+    cfg_det = cfg.replace(actor_use_random_rotation_features=False)
+    r2 = play_match(cfg_det, va, va, num_games=8, seed=3, opening_random_plies=2)
+    assert r2.games == 8
+    assert r2.p1_wins == r2.p2_wins, f"self-match must be colour-symmetric: {r2}"
+
 
 def test_cli_gen_config(tmp_path):
     from minizero_tpu.__main__ import main

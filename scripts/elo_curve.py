@@ -8,7 +8,16 @@ then plots accumulated Elo over training steps against the reference's
 curves digitized from docs/imgs/minizero_go_9x9.svg
 (refbench/ref_go9_elo_curves.json).
 
-    python scripts/elo_curve.py <run_dir> [interval_iters] [games_per_pair]
+    python scripts/elo_curve.py <run_dir> [interval_iters] [games_per_pair] \
+        [conf_override] [out_suffix]
+
+``conf_override`` lets the ladder run at the reference's strength-
+measurement protocol (README.md:203): pass
+"actor_num_simulation=800:actor_select_action_by_count=true:\
+actor_select_action_by_softmax_count=false:actor_use_dirichlet_noise=false:\
+actor_use_gumbel_noise=false" and e.g. out_suffix "_n800" to write
+elo_curve_n800.json / elo_curve_vs_reference_n800.png alongside the
+training-sims ladder.
 """
 import glob
 import json
@@ -26,7 +35,7 @@ if os.environ.get("MINIZERO_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["MINIZERO_PLATFORM"])
 
 
-def main(run_dir, interval=10, games=96):
+def main(run_dir, interval=10, games=96, conf_override="", out_suffix=""):
     import pickle
     import time
 
@@ -47,6 +56,8 @@ def main(run_dir, interval=10, games=96):
     kv = [p for p in pairs if p and "=" in p]
     env_name = next(p.split("=", 1)[1] for p in kv if p.startswith("env_name="))
     cfg = default_config(env_name).load_string(":".join(kv))
+    if conf_override:
+        cfg = cfg.load_string(conf_override)
     cfg = cfg.replace(zero_num_parallel_games=min(games, 96))
     env = make_env(cfg)
     net = create_network(cfg, env.spec)
@@ -76,8 +87,14 @@ def main(run_dir, interval=10, games=96):
         vb = va
 
     out = {"run": run_dir, "interval_iters": interval, "games_per_pair": games,
+           "protocol": {
+               "num_simulation": cfg.actor_num_simulation,
+               "select_by_count": cfg.actor_select_action_by_count,
+               "noise": cfg.actor_use_dirichlet_noise or cfg.actor_use_gumbel_noise,
+               "conf_override": conf_override,
+           },
            "points": points, "matches": results}
-    with open(os.path.join(run_dir, "elo_curve.json"), "w") as f:
+    with open(os.path.join(run_dir, f"elo_curve{out_suffix}.json"), "w") as f:
         json.dump(out, f, indent=1)
 
     # overlay vs reference curves
@@ -101,10 +118,13 @@ def main(run_dir, interval=10, games=96):
             "k-o", lw=2.2, ms=3, label=f"minizero_tpu this run ({cfg.env_name})")
     ax.set_xlabel("training steps")
     ax.set_ylabel("Elo (sequential self-ladder, +/-1000 cap)")
-    ax.set_title(f"{cfg.env_name} strength vs reference published curves")
+    proto = (f"n={cfg.actor_num_simulation} argmax noise-off, {games} games/pair"
+             " (reference curves: 800-sim gogui-twogtp)")
+    ax.set_title(f"{cfg.env_name} strength vs reference published curves\n{proto}",
+                 fontsize=9)
     ax.legend(fontsize=7)
     ax.grid(alpha=0.3)
-    png = os.path.join(run_dir, "elo_curve_vs_reference.png")
+    png = os.path.join(run_dir, f"elo_curve_vs_reference{out_suffix}.png")
     fig.savefig(png, dpi=120, bbox_inches="tight")
     print("wrote", png)
 
@@ -112,4 +132,6 @@ def main(run_dir, interval=10, games=96):
 if __name__ == "__main__":
     main(sys.argv[1],
          int(sys.argv[2]) if len(sys.argv) > 2 else 10,
-         int(sys.argv[3]) if len(sys.argv) > 3 else 96)
+         int(sys.argv[3]) if len(sys.argv) > 3 else 96,
+         sys.argv[4] if len(sys.argv) > 4 else "",
+         sys.argv[5] if len(sys.argv) > 5 else "")

@@ -1,0 +1,114 @@
+"""Multi-host weak-scaling datapoint on the virtual CPU mesh (VERDICT r2 #7).
+
+Real multi-chip hardware is unavailable in this image, but serialization
+bugs in the sharded collection path (per-host self-play -> allgather-stats
+-> host-0 aggregation, zero/loop.py) show up already on a 2-process CPU
+mesh: if any per-host phase accidentally serializes on a global barrier,
+per-host throughput craters when the second process joins.
+
+Method: run the SAME per-host workload (tictactoe gaz, fixed games/host)
+as 1 process and as 2 processes (2 virtual devices each, jax.distributed
+like tests/test_multihost.py), time iterations 2..N from host-0's
+Training.log timestamps (iteration 1 absorbs compiles), and report
+games/host/s for both plus the weak-scaling efficiency ratio.
+
+    python scripts/multihost_scaling.py [games_per_iter] [iters]
+
+Prints one JSON line; also appended to docs/Evaluation.md by hand.
+"""
+import json
+import os
+import re
+import socket
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import sys
+sys.path.insert(0, sys.argv[5])
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, nproc, port, run_dir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+games_per_iter, iters = int(sys.argv[6]), int(sys.argv[7])
+if nproc > 1:
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=nproc, process_id=pid)
+
+from minizero_tpu.config import algorithm_preset, default_config
+from minizero_tpu.parallel.mesh import make_mesh
+from minizero_tpu.zero.loop import ZeroLoop
+
+over = dict(algorithm_preset("gaz"))
+over.update(
+    actor_num_simulation=8, actor_gumbel_sample_size=8,
+    nn_num_blocks=1, nn_num_hidden_channels=16, nn_num_value_hidden_channels=16,
+    zero_num_parallel_games=32 * nproc,          # constant per-host batch
+    zero_num_games_per_iteration=games_per_iter * nproc,  # constant games/host
+    learner_training_step=4, learner_batch_size=64,
+    zero_end_iteration=iters,
+    program_auto_seed=False,
+)
+cfg = default_config("tictactoe", **over)
+mesh = make_mesh(len(jax.devices()))
+loop = ZeroLoop(cfg, run_dir, mesh=mesh)
+loop.run()
+print(f"WORKER_{pid}_DONE")
+"""
+
+
+def run_config(nproc: int, games_per_iter: int, iters: int) -> float:
+    """Returns games/host/s over iterations 2..iters (host-0 log timestamps)."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    run_dir = tempfile.mkdtemp(prefix=f"mh_scale_{nproc}p_")
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, str(pid), str(nproc), str(port),
+             run_dir, REPO, str(games_per_iter), str(iters)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for pid in range(nproc)
+    ]
+    for pid, p in enumerate(procs):
+        out, _ = p.communicate(timeout=1800)
+        if p.returncode != 0:
+            raise RuntimeError(f"worker {pid} failed:\n{out[-3000:]}")
+    # timestamps of iteration lines: "[Iteration] k: self-play G games in Ts"
+    stamps = []
+    ts_re = re.compile(r"^\[(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2})\] \[Iteration\] (\d+):")
+    import datetime
+    for line in open(os.path.join(run_dir, "Training.log")):
+        m = ts_re.match(line.strip())
+        if m:
+            stamps.append((int(m.group(2)),
+                           datetime.datetime.strptime(m.group(1), "%Y-%m-%d %H:%M:%S")))
+    stamps.sort()
+    assert stamps[-1][0] == iters, stamps
+    # wall from end of iteration 1's self-play to end of last self-play
+    wall = (stamps[-1][1] - stamps[0][1]).total_seconds()
+    games = games_per_iter * (iters - 1)  # per host
+    return games / max(wall, 1e-9)
+
+
+def main():
+    games_per_iter = int(sys.argv[1]) if len(sys.argv) > 1 else 96
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    g1 = run_config(1, games_per_iter, iters)
+    g2 = run_config(2, games_per_iter, iters)
+    print(json.dumps({
+        "metric": "multihost_weak_scaling",
+        "games_per_host_s_1proc": round(g1, 2),
+        "games_per_host_s_2proc": round(g2, 2),
+        "efficiency": round(g2 / g1, 3),
+        "workload": f"tictactoe gaz n=8, {games_per_iter} games/host/iter, "
+                    f"iters 2..{iters} timed",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,7 +20,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 
-def main(run_dir="runs/atari_gmz_r2", iterations=3, batch=256):
+def main(run_dir="runs/atari_gmz_r2", iterations=3, batch=256, sims=0):
     from minizero_tpu.config import algorithm_preset, default_config
     from minizero_tpu.envs.atari import FakeALE
     from minizero_tpu.zero.loop import ZeroLoop
@@ -34,6 +34,8 @@ def main(run_dir="runs/atari_gmz_r2", iterations=3, batch=256):
         backend = "FakeALE"
 
     over = dict(algorithm_preset("gmz", is_atari=True))
+    if sims:  # staged-compile runs use a smaller search first (n=12)
+        over.update(actor_num_simulation=sims, actor_gumbel_sample_size=sims)
     over.update(
         zero_num_parallel_games=batch,
         zero_num_games_per_iteration=batch,  # sequences per iteration
@@ -80,4 +82,5 @@ def main(run_dir="runs/atari_gmz_r2", iterations=3, batch=256):
 if __name__ == "__main__":
     main(*(sys.argv[1:] and [sys.argv[1]] or []),
          **({"iterations": int(sys.argv[2])} if len(sys.argv) > 2 else {}),
-         **({"batch": int(sys.argv[3])} if len(sys.argv) > 3 else {}))
+         **({"batch": int(sys.argv[3])} if len(sys.argv) > 3 else {}),
+         **({"sims": int(sys.argv[4])} if len(sys.argv) > 4 else {}))

@@ -185,19 +185,38 @@ def make_train_step(cfg: Config, env: Env, network):
             metrics["_new_values"] = _scalar_value(out)
         return loss, (mutated["batch_stats"], metrics)
 
+    # remat the Atari unroll: without it the b=256 train step's activations
+    # (96x96 feature stack through the downsampling representation + 5
+    # recurrent steps, all held live for the backward) need ~30 GB — double
+    # a v5e chip's 16 GB HBM. jax.checkpoint recomputes each sub-forward in
+    # the backward instead (HBM-bandwidth-for-memory, the standard TPU
+    # trade); board games are small enough to skip the recompute cost.
+    use_remat = env.spec.name.startswith("atari")
+
+    def _initial_apply(params, batch_stats, feats):
+        return network.apply(
+            {"params": params, "batch_stats": batch_stats}, feats, train=True,
+            mutable=["batch_stats"], method=network.initial_inference)
+
+    def _recurrent_apply(params, batch_stats, hidden, planes):
+        return network.apply(
+            {"params": params, "batch_stats": batch_stats}, hidden, planes,
+            train=True, mutable=["batch_stats"], method=network.recurrent_inference)
+
+    if use_remat:
+        _initial_apply = jax.checkpoint(_initial_apply)
+        _recurrent_apply = jax.checkpoint(_recurrent_apply)
+
     def muzero_loss(params, batch_stats, batch, rng):
         feats = batch["features"].astype(jnp.float32) * feat_scale
         feats, policy_label, actions = _augment_rotation(
             env, rng, feats, batch["policy"].astype(jnp.float32), batch["actions"])
-        variables = {"params": params, "batch_stats": batch_stats}
         ls = batch["loss_scale"]
         value_label = prepare_value_label(batch["value"])  # [B, K+1(, V)]
         has_reward = "reward" in batch and env.spec.name.startswith("atari")
         reward_label = prepare_value_label(batch["reward"]) if has_reward else None
 
-        out, mutated = network.apply(
-            variables, feats, train=True, mutable=["batch_stats"], method=network.initial_inference
-        )
+        out, mutated = _initial_apply(params, batch_stats, feats)
         batch_stats = mutated["batch_stats"]
         loss_p = _policy_loss(cfg, out["policy_logit"], policy_label[:, 0], ls)
         loss_v = _value_loss(cfg, out, value_label[:, 0], ls, value_size)
@@ -209,11 +228,7 @@ def make_train_step(cfg: Config, env: Env, network):
         for i in range(k_unroll):
             hidden = scale_gradient(hidden, 0.5)
             planes = jax.vmap(env.action_features)(actions[:, i])
-            out, mutated = network.apply(
-                {"params": params, "batch_stats": batch_stats},
-                hidden, planes, train=True, mutable=["batch_stats"],
-                method=network.recurrent_inference,
-            )
+            out, mutated = _recurrent_apply(params, batch_stats, hidden, planes)
             batch_stats = mutated["batch_stats"]
             hidden = out["hidden_state"]
             loss_p = loss_p + _policy_loss(cfg, out["policy_logit"], policy_label[:, i + 1], ls) / k_unroll

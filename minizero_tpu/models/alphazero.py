@@ -10,7 +10,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from minizero_tpu.models.blocks import DiscreteValueHead, PolicyHead, ResidualBlock, ValueHead
+from minizero_tpu.models.blocks import (
+    DiscreteValueHead, PolicyHead, ResidualBlock, ValueHead, torch_conv)
 
 
 class AlphaZeroNetwork(nn.Module):
@@ -28,7 +29,7 @@ class AlphaZeroNetwork(nn.Module):
     @nn.compact
     def __call__(self, state, train: bool = False):
         """state: f32[B, H, W, C_in] -> dict of outputs."""
-        x = nn.Conv(self.num_hidden_channels, (3, 3), padding="SAME", use_bias=True)(state)
+        x = torch_conv(state, self.num_hidden_channels, (3, 3), padding="SAME", use_bias=True)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
         x = nn.relu(x)
         for _ in range(self.num_blocks):

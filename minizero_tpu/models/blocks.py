@@ -18,6 +18,40 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+# --- torch-default initialization -----------------------------------------
+# The reference's trainability at its published learning rates depends on
+# torch's default layer init: kaiming_uniform(a=sqrt(5)) == U(+/-1/sqrt(fan_in))
+# for kernels AND biases. With flax defaults (lecun_normal, zero bias) the
+# k-step MuZero unroll at lr 0.05 falls into a dead-head attractor (policy/
+# value head BN gamma collapses, ReLU dies, outputs go constant) that the
+# SAME torch model with torch init escapes — verified empirically round 3 by
+# training the reference's own muzero_network.py on identical batches with
+# both inits (torch init: learns; flax-style init: collapses identically to
+# ours). variance_scaling(1/3, fan_in, uniform) == U(+/-1/sqrt(fan_in)).
+_TORCH_KERNEL_INIT = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def _torch_bias_init(fan_in: int):
+    lim = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -lim, lim)
+
+    return init
+
+
+def torch_conv(x, features: int, kernel_size, **kw):
+    """nn.Conv with torch-default init (fan_in from the call-site input)."""
+    fan_in = int(x.shape[-1]) * kernel_size[0] * kernel_size[1]
+    return nn.Conv(features, kernel_size, kernel_init=_TORCH_KERNEL_INIT,
+                   bias_init=_torch_bias_init(fan_in), **kw)(x)
+
+
+def torch_dense(x, features: int):
+    """nn.Dense with torch-default init."""
+    return nn.Dense(features, kernel_init=_TORCH_KERNEL_INIT,
+                    bias_init=_torch_bias_init(int(x.shape[-1])))(x)
+
 
 class ResidualBlock(nn.Module):
     """reference network_unit.py:6-22"""
@@ -27,10 +61,10 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         inp = x
-        x = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=True)(x)
+        x = torch_conv(x, self.channels, (3, 3), padding="SAME", use_bias=True)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
         x = nn.relu(x)
-        x = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=True)(x)
+        x = torch_conv(x, self.channels, (3, 3), padding="SAME", use_bias=True)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
         return nn.relu(inp + x)
 
@@ -46,11 +80,11 @@ class PolicyHead(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         out_channels = math.ceil(self.action_size / (self.height * self.width))
-        x = nn.Conv(out_channels, (1, 1), use_bias=True)(x)
+        x = torch_conv(x, out_channels, (1, 1), use_bias=True)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
         x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
-        return nn.Dense(self.action_size)(x)
+        return torch_dense(x, self.action_size)
 
 
 class ValueHead(nn.Module):
@@ -62,13 +96,13 @@ class ValueHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Conv(1, (1, 1), use_bias=True)(x)
+        x = torch_conv(x, 1, (1, 1), use_bias=True)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
         x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
-        x = nn.Dense(self.hidden_channels)(x)
+        x = torch_dense(x, self.hidden_channels)
         x = nn.relu(x)
-        x = nn.Dense(1)(x)
+        x = torch_dense(x, 1)
         return jnp.tanh(x)
 
 
@@ -84,13 +118,13 @@ class DiscreteValueHead(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         out_channels = math.ceil(self.value_size / (self.height * self.width))
-        x = nn.Conv(out_channels, (1, 1), use_bias=True)(x)
+        x = torch_conv(x, out_channels, (1, 1), use_bias=True)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
         x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
-        x = nn.Dense(self.hidden_channels)(x)
+        x = torch_dense(x, self.hidden_channels)
         x = nn.relu(x)
-        return nn.Dense(self.value_size)(x)
+        return torch_dense(x, self.value_size)
 
 
 @jax.custom_vjp

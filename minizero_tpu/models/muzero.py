@@ -22,6 +22,7 @@ from minizero_tpu.models.blocks import (
     ResidualBlock,
     ValueHead,
     scale_hidden_state,
+    torch_conv,
 )
 
 
@@ -33,7 +34,7 @@ class _Representation(nn.Module):
 
     @nn.compact
     def __call__(self, state, train: bool):
-        x = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=True)(state)
+        x = torch_conv(state, self.channels, (3, 3), padding="SAME", use_bias=True)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
         x = nn.relu(x)
         for _ in range(self.num_blocks):
@@ -50,11 +51,11 @@ class _AtariRepresentation(nn.Module):
 
     @nn.compact
     def __call__(self, state, train: bool):
-        x = nn.Conv(self.channels // 2, (3, 3), strides=(2, 2), padding="SAME", use_bias=True)(state)
+        x = torch_conv(state, self.channels // 2, (3, 3), strides=(2, 2), padding="SAME", use_bias=True)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
         x = nn.relu(x)
         x = ResidualBlock(self.channels // 2)(x, train)
-        x = nn.Conv(self.channels, (3, 3), strides=(2, 2), padding="SAME", use_bias=True)(x)
+        x = torch_conv(x, self.channels, (3, 3), strides=(2, 2), padding="SAME", use_bias=True)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
         x = nn.relu(x)
         x = ResidualBlock(self.channels)(x, train)
@@ -79,7 +80,7 @@ class _Dynamics(nn.Module):
     @nn.compact
     def __call__(self, hidden_state, action_plane, train: bool):
         x = jnp.concatenate([hidden_state, action_plane], axis=-1)
-        x = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=True)(x)
+        x = torch_conv(x, self.channels, (3, 3), padding="SAME", use_bias=True)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
         x = nn.relu(x)
         for _ in range(self.num_blocks):

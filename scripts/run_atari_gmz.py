@@ -42,7 +42,7 @@ def main(run_dir="runs/atari_gmz_r2", iterations=3, batch=256, sims=0):
         zero_end_iteration=iterations,
         learner_training_step=200,
         learner_training_display_step=100,
-        learner_batch_size=256,
+        learner_batch_size=min(batch, 256),
         zero_actor_record_observations=True,
         program_auto_seed=False,
     )

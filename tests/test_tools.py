@@ -168,6 +168,48 @@ def test_learning_smoke(tmp_path):
     assert r.p1_win_rate > 0.7, f"expected clear improvement, got {r}"
 
 
+@pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("MINIZERO_SKIP_LEARNING_SMOKE") == "1",
+    reason="opted out via MINIZERO_SKIP_LEARNING_SMOKE=1 "
+    "(~5 min; the MuZero end-to-end does-it-learn check)",
+)
+def test_learning_smoke_muzero(tmp_path):
+    """MuZero tictactoe actually learns: trained beats init (VERDICT r2 #2a).
+
+    Regression context: before round 3 every MuZero training run silently
+    produced a constant net (NaN grads under jit in the min-max
+    hidden-state scaling backward, see
+    test_scale_hidden_state_grad_finite_under_jit) and LOST 0-48 to its
+    own init. This smoke pins end-to-end mz learning, not just that the
+    train step runs."""
+    import jax
+
+    from minizero_tpu.config import algorithm_preset
+    from minizero_tpu.eval.match import play_match
+    from minizero_tpu.models.factory import init_network
+    from minizero_tpu.zero.loop import ZeroLoop
+
+    over = dict(algorithm_preset("mz"))
+    over.update(
+        actor_num_simulation=16,
+        nn_num_blocks=1, nn_num_hidden_channels=32, nn_num_value_hidden_channels=32,
+        zero_num_parallel_games=32, zero_num_games_per_iteration=64,
+        zero_end_iteration=16, learner_training_step=30,
+        learner_training_display_step=10, learner_batch_size=128,
+        learner_learning_rate=0.05,
+    )
+    cfg = default_config("tictactoe", **over)
+    loop = ZeroLoop(cfg, str(tmp_path / "run"))
+    init_vars = init_network(loop.network, loop.env.spec, jax.random.PRNGKey(123))
+    loop.run()
+    # random openings: deterministic mz eval otherwise collapses the batch
+    # to one distinct game per colour (see play_match docstring)
+    r = play_match(cfg.replace(zero_num_parallel_games=16), loop.variables, init_vars,
+                   num_games=48, seed=9, opening_random_plies=2)
+    assert r.p1_win_rate > 0.7, f"expected clear improvement, got {r}"
+
+
 def test_profile_tool():
     """Profiler drives self-play + train phases and reports timings
     (SURVEY §5.1: profiling as a first-class tool)."""

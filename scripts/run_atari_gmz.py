@@ -58,6 +58,12 @@ def main(run_dir="runs/atari_gmz_r2", iterations=3, batch=256, sims=0):
 
     t0 = time.time()
     loop = ZeroLoop(cfg, run_dir, ale_factory=factory)
+    try:
+        start = loop.resume()  # reuse a prior attempt's finished self-play
+    except Exception:
+        start = 0
+    if start:
+        print(f"resumed at iteration {start}", flush=True)
     loop.run()
     wall = time.time() - t0
 

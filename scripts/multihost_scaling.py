@@ -95,18 +95,42 @@ def run_config(nproc: int, games_per_iter: int, iters: int) -> float:
     return games / max(wall, 1e-9)
 
 
+def run_independent_pair(games_per_iter: int, iters: int) -> float:
+    """CONTROL: two concurrent 1-process runs (no collectives, separate run
+    dirs). On a 2-CPU host their throughput drop vs a solo run measures pure
+    CPU/XLA contention; the distributed config's extra drop below THIS
+    number is what the sharded collection path actually costs."""
+    import threading
+
+    results = [None, None]
+
+    def worker(i):
+        results[i] = run_config(1, games_per_iter, iters)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    return sum(results) / 2.0
+
+
 def main():
     games_per_iter = int(sys.argv[1]) if len(sys.argv) > 1 else 96
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     g1 = run_config(1, games_per_iter, iters)
+    g_ctrl = run_independent_pair(games_per_iter, iters)
     g2 = run_config(2, games_per_iter, iters)
     print(json.dumps({
         "metric": "multihost_weak_scaling",
         "games_per_host_s_1proc": round(g1, 2),
-        "games_per_host_s_2proc": round(g2, 2),
-        "efficiency": round(g2 / g1, 3),
+        "games_per_host_s_2proc_independent": round(g_ctrl, 2),
+        "games_per_host_s_2proc_distributed": round(g2, 2),
+        "efficiency_vs_solo": round(g2 / g1, 3),
+        "efficiency_vs_contention_control": round(g2 / max(g_ctrl, 1e-9), 3),
         "workload": f"tictactoe gaz n=8, {games_per_iter} games/host/iter, "
-                    f"iters 2..{iters} timed",
+                    f"iters 2..{iters} timed; host has 2 CPUs so the "
+                    "independent-pair control carries the oversubscription",
     }))
 
 

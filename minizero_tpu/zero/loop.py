@@ -434,8 +434,17 @@ class ZeroLoop:
         shown = 0
         bs = cfg.learner_batch_size
         # PER refresh is vectorized (ReplayBuffer.refresh_priorities), so PER
-        # no longer needs a shorter chunk; the refresh lag stays < K steps
-        chunk = max(1, min(cfg.learner_training_display_step, 100))
+        # no longer needs a shorter chunk; the refresh lag stays < K steps.
+        # The chunk is also capped by the stacked-feature device footprint:
+        # atari steps are ~150 MB of f32 features each (96x96x32 at b=256),
+        # so a 100-step stack is 15 GB — past a whole v5e chip's HBM
+        # (observed RESOURCE_EXHAUSTED); Go9 steps are ~6 MB and keep the
+        # full 100-step chunk.
+        spec = self.env.spec
+        feat_bytes_per_step = (bs * spec.input_height * spec.input_width
+                               * spec.num_input_channels * 4)
+        chunk = max(1, min(cfg.learner_training_display_step, 100,
+                           int(1.5e9 // max(feat_bytes_per_step, 1)) or 1))
         done = 0
         # with PER off, metrics materialization is deferred one chunk so the
         # next chunk's host sampling + H2D transfer overlap the device scan

@@ -41,3 +41,7 @@ build() {
 
 build parity_dump_go "-DGO=1" "$REF/environment/go/go.cpp" "$REF/environment/go/go_data_structure_check.cpp"
 build parity_dump_tictactoe "" "$REF/environment/tictactoe/tictactoe.cpp"
+# ATARI=1: the reference's AtariEnv + the #if ATARI plain-average init-Q
+# branch (mcts.cpp:200-217), against the deterministic stub ALE + identity
+# cv::resize in stub_include/ (no ale_py/ROMs/opencv in this image)
+build parity_dump_atari "-DATARI=1 -I$REF/environment/atari" "$REF/environment/atari/atari.cpp"

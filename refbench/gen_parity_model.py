@@ -12,9 +12,10 @@ import torch
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tests.parity_common import (  # noqa: E402
-    ACTION_OFFSET, GAME_DIMS, MZ_DISCRETE_SIZE, MZ_HIDDEN_CHANNELS, MZ_MOD,
-    MZ_POLICY_SCALE, MZ_VALUE_SCALE, POLICY_SCALE, VALUE_CLAMP, VALUE_SCALE,
-    muzero_parity_weights, parity_weights)
+    ACTION_OFFSET, GAME_DIMS, MZ_BIN_MOD, MZ_DISCRETE_SIZE,
+    MZ_HIDDEN_CHANNELS, MZ_MOD, MZ_POLICY_SCALE, MZ_VALUE_SCALE,
+    POLICY_SCALE, VALUE_CLAMP, VALUE_SCALE, muzero_parity_weights,
+    parity_weights)
 
 
 class ParityNet(torch.nn.Module):
@@ -108,23 +109,36 @@ class MuZeroParityNet(torch.nn.Module):
 
     def __init__(self, game: str, atari_mode: bool):
         super().__init__()
+        from tests.parity_common import ACTION_FEATURE_CHANNELS, HIDDEN_DIMS
+
         c, h, w, a = GAME_DIMS[game]
+        hh, wh = HIDDEN_DIMS.get(game, (h, w))
+        ca = ACTION_FEATURE_CHANNELS.get(game, 1)
         m = int(MZ_HIDDEN_CHANNELS)
-        k = m * h * w
+        k = m * hh * wh
         ws = muzero_parity_weights(game)
         self.game_name = game
         self.atari_mode = atari_mode
+        self.is_atari_game = game == "atari"
         self.c, self.h, self.w, self.a, self.m, self.k = c, h, w, a, m, k
+        self.hh, self.wh, self.ca = hh, wh, ca
         self.mod: float = float(MZ_MOD)
         self.dsize: int = int(MZ_DISCRETE_SIZE)
         self.policy_scale: float = float(MZ_POLICY_SCALE)
         self.value_scale: float = float(MZ_VALUE_SCALE)
         self.value_clamp: float = float(VALUE_CLAMP)
+        self.bin_mod: float = float(MZ_BIN_MOD)
         t = lambda x, shape: torch.tensor(  # noqa: E731
             x, dtype=torch.float32).reshape(shape)
-        self.register_buffer("Wr", t(ws["Wr"], (c * h * w, k)))
+        if self.is_atari_game:
+            # pixel-gather representation (see muzero_parity_weights)
+            self.register_buffer("Ridx", torch.tensor(ws["Ridx"], dtype=torch.long))
+            self.register_buffer("Wr", torch.zeros(1))
+        else:
+            self.register_buffer("Wr", t(ws["Wr"], (c * h * w, k)))
+            self.register_buffer("Ridx", torch.zeros(1, dtype=torch.long))
         self.register_buffer("Wd", t(ws["Wd"], (k, k)))
-        self.register_buffer("Wa", t(ws["Wa"], (h * w, k)))
+        self.register_buffer("Wa", t(ws["Wa"], (ca * hh * wh, k)))
         self.register_buffer("Wp", t(ws["Wp"], (k, a)))
         self.register_buffer("Wv", t(ws["Wv"], (k,)))
         self.register_buffer("Wvd", t(ws["Wvd"], (k,)))
@@ -135,9 +149,9 @@ class MuZeroParityNet(torch.nn.Module):
         return t - self.mod * torch.floor(t / self.mod)
 
     def _mod_d(self, t):
-        d = float(self.dsize)
-        b = t - d * torch.floor(t / d)
-        return torch.clamp(b, 0.0, d - 1.0).to(torch.int64)
+        # power-of-2 modulus: exact under every backend (see MZ_BIN_MOD)
+        b = t - self.bin_mod * torch.floor(t / self.bin_mod)
+        return torch.clamp(b, 0.0, float(self.dsize) - 1.0).to(torch.int64)
 
     def _predict(self, hidden):
         logits = torch.matmul(hidden, self.Wp) / self.policy_scale + self.offs
@@ -152,26 +166,29 @@ class MuZeroParityNet(torch.nn.Module):
     @torch.jit.export
     def initial_inference(self, state):
         x = state.reshape(state.shape[0], self.c * self.h * self.w)
-        hidden = self._mod16(torch.matmul(x, self.Wr))
+        if self.is_atari_game:
+            hidden = self._mod16(torch.round(x[:, self.Ridx] * 255.0))
+        else:
+            hidden = self._mod16(torch.matmul(x, self.Wr))
         logits, value = self._predict(hidden)
         return {
             "policy_logit": logits,
             "policy": torch.softmax(logits, dim=1),
             "value": value,
-            "hidden_state": hidden.reshape(hidden.shape[0], self.m, self.h, self.w),
+            "hidden_state": hidden.reshape(hidden.shape[0], self.m, self.hh, self.wh),
         }
 
     @torch.jit.export
     def recurrent_inference(self, hidden_state, action_plane):
         hflat = hidden_state.reshape(hidden_state.shape[0], self.k)
-        aflat = action_plane.reshape(action_plane.shape[0], self.h * self.w)
+        aflat = action_plane.reshape(action_plane.shape[0], self.ca * self.hh * self.wh)
         hidden = self._mod16(torch.matmul(hflat, self.Wd) + torch.matmul(aflat, self.Wa))
         logits, value = self._predict(hidden)
         out = {
             "policy_logit": logits,
             "policy": torch.softmax(logits, dim=1),
             "value": value,
-            "hidden_state": hidden.reshape(hidden.shape[0], self.m, self.h, self.w),
+            "hidden_state": hidden.reshape(hidden.shape[0], self.m, self.hh, self.wh),
         }
         if self.atari_mode:
             bins = self._mod_d(torch.matmul(hidden, self.Wrd))
@@ -207,11 +224,11 @@ class MuZeroParityNet(torch.nn.Module):
 
     @torch.jit.export
     def get_hidden_channel_height(self):
-        return self.h
+        return self.hh
 
     @torch.jit.export
     def get_hidden_channel_width(self):
-        return self.w
+        return self.wh
 
     @torch.jit.export
     def get_num_blocks(self):
@@ -231,7 +248,7 @@ class MuZeroParityNet(torch.nn.Module):
 
     @torch.jit.export
     def get_num_action_feature_channels(self):
-        return 1
+        return self.ca
 
 
 def main():

@@ -125,6 +125,12 @@ int main(int argc, char** argv)
     std::ofstream out(out_path);
     for (int g = 0; g < num_games; ++g) {
         actor->reset();
+#if ATARI
+        // fixed per-game console seed so the python side can rebuild the
+        // same stub-ALE episode (AtariEnv::reset draws a random seed
+        // otherwise, atari.h:54)
+        actor->getEnvironment().reset(1000 + g);
+#endif
         const int opening_len = opening_stride * g;
         for (int j = 0; j < opening_len; ++j) {
             auto& env = actor->getEnvironment();

@@ -27,11 +27,19 @@ from __future__ import annotations
 import numpy as np
 
 # (in_channels, h, w, action_size) — reference env feature specs
-# (go.cpp:280-307 → 18 planes; tictactoe.cpp:71-97 → 4 planes)
+# (go.cpp:280-307 → 18 planes; tictactoe.cpp:71-97 → 4 planes;
+# atari.h:66-73 → 8-history x [action, R, G, B] = 32 planes @ 96x96)
 GAME_DIMS = {
     "go": (18, 9, 9, 82),
     "tictactoe": (4, 3, 3, 9),
+    "atari": (32, 96, 96, 18),
 }
+# MuZero hidden-state spatial dims where they differ from the input
+# (atari.h kAtariHiddenChannelHeight/Width = 6)
+HIDDEN_DIMS = {"atari": (6, 6)}
+# MuZero action-feature channels (board: 1 one-hot plane; atari: 18
+# channel-fill planes, atari.cpp getActionFeatures)
+ACTION_FEATURE_CHANNELS = {"atari": 18}
 
 POLICY_SCALE = 32.0  # logits = int_sum / 32 (soft enough that visits spread)
 # --- MuZero parity net constants (see muzero_parity_weights) -------------
@@ -40,6 +48,10 @@ MZ_MOD = 16.0  # hidden entries live in [0, 16): h = t - 16*floor(t/16), exact
 MZ_POLICY_SCALE = 256.0  # logits = int_sum / 256 (hidden sums are larger)
 MZ_VALUE_SCALE = 16384.0  # value = clamp(int_sum / 2^14)
 MZ_DISCRETE_SIZE = 11  # atari-mode two-hot head size (bins -5..5)
+# bin selector modulus MUST be a power of 2: t - m*floor(t/m) is exact for
+# m=8, while m=11 hits XLA's reciprocal-multiply rewrite (floor(t*(1/11))
+# loses exact multiples under jit -> different bins jit vs eager vs torch)
+MZ_BIN_MOD = 8.0
 # tiny exact per-action offset (a * 2^-16) added to every logit so that no
 # two actions ever tie exactly: the reference sorts children with an
 # UNSTABLE std::sort on policy (zero_actor.cpp:225-228), so exact-tie
@@ -109,6 +121,74 @@ def jax_parity_network(game: str):
     return net, variables
 
 
+class ParityFakeALE:
+    """numpy twin of refbench/stub_include/ale_interface.hpp.
+
+    Screens/rewards/lives are uint32-hash functions of (seed, frame
+    [, action]); screens are emitted at 96x96 so both sides' resize is the
+    identity. Plug into ``envs.atari.AtariEnv`` via ``ale_factory``."""
+
+    RES = 96
+    EPISODE_FRAMES = 800
+    MINIMAL = (0, 1, 2, 3, 4, 5, 11, 17)
+
+    def __init__(self, seed: int):
+        self.seed = np.uint32(seed)
+        self.frame = 0
+
+    def reset_game(self):
+        self.frame = 0
+
+    def act(self, action: int) -> float:
+        self.frame += 1
+        u = np.uint32
+        with np.errstate(over="ignore"):
+            x = u(self.frame) * u(2654435761)
+            x ^= self.seed * u(97)
+            x ^= u(action) * u(31)
+            x ^= x >> u(15)
+            x *= u(2246822519)
+        return 1.0 if int(x >> np.uint32(20)) % 16 == 0 else 0.0
+
+    def lives(self) -> int:
+        return max(0, 3 - self.frame // 350)
+
+    def game_over(self, *_a, **_k) -> bool:
+        return self.frame >= self.EPISODE_FRAMES
+
+    def getMinimalActionSet(self):
+        return list(self.MINIMAL)
+
+    def getScreenRGB(self) -> np.ndarray:
+        u = np.uint32
+        i = np.arange(self.RES * self.RES * 3, dtype=np.uint32)
+        with np.errstate(over="ignore"):
+            x = i * u(2654435761)
+            x ^= u(self.frame) * u(2246822519)
+            x ^= self.seed * u(3266489917)
+            x ^= x >> u(15)
+            x *= u(2654435761)
+        return ((x >> u(16)) & u(0xFF)).astype(np.uint8).reshape(self.RES, self.RES, 3)
+
+
+def atari_parity_pixel_indices(k: int):
+    """Deterministic indices into the canonical CHW-flat atari feature
+    vector, restricted to PIXEL entries (channel % 4 != 0 — action-history
+    planes hold a/18 values whose products are not order-exact in f32, so
+    the parity representation must not touch them). Shared by the torch
+    and jax parity nets (computed once here, stored as a buffer)."""
+    c, h, w, _ = GAME_DIMS["atari"]
+    total, plane = c * h * w, h * w
+    idx = []
+    cand = 12345
+    for j in range(k):
+        cand = (cand + 2654435761) % total
+        while (cand // plane) % 4 == 0:
+            cand = (cand + 9973) % total
+        idx.append(cand)
+    return np.asarray(idx, np.int64)
+
+
 def muzero_parity_weights(game: str, seed: int = 20260821):
     """Deterministic integer weights for the MuZero parity net.
 
@@ -130,22 +210,30 @@ def muzero_parity_weights(game: str, seed: int = 20260821):
     Canonical layouts put torch's NCHW flatten and the jax transpose on
     the same flat index space (same trick as ``parity_weights``).
 
-    Returns dict of int8 arrays: Wr[C,H,W,K], Wd[K,K], Wa[Ca,H,W,K],
-    Wp[M,H,W,A], Wv[M,H,W], Wvd[M,H,W], Wrd[M,H,W]  (K = M*H*W, Ca = 1).
+    Returns dict of int8 arrays: Wr[C,H,W,K], Wd[K,K], Wa[Ca,Hh,Wh,K],
+    Wp[M,Hh,Wh,A], Wv[M,Hh,Wh], Wvd/Wrd[M,Hh,Wh]  (K = M*Hh*Wh, Hh/Wh the
+    hidden dims). Atari swaps Wr for a pixel-gather: h0 = mod16(255 *
+    x_can[Ridx]) — byte-exact on both sides, see atari_parity_pixel_indices.
     """
     c, h, w, a = GAME_DIMS[game]
+    hh, wh = HIDDEN_DIMS.get(game, (h, w))
+    ca = ACTION_FEATURE_CHANNELS.get(game, 1)
     m = int(MZ_HIDDEN_CHANNELS)
-    k = m * h * w
+    k = m * hh * wh
     rng = np.random.Generator(np.random.PCG64(seed + len(game) * 2003))
-    return {
-        "Wr": rng.integers(-3, 4, size=(c, h, w, k), dtype=np.int8),
-        "Wd": rng.integers(-2, 3, size=(k, k), dtype=np.int8),
-        "Wa": rng.integers(-7, 8, size=(1, h, w, k), dtype=np.int8),
-        "Wp": rng.integers(-7, 8, size=(m, h, w, a), dtype=np.int8),
-        "Wv": rng.integers(-3, 4, size=(m, h, w), dtype=np.int8),
-        "Wvd": rng.integers(-2, 3, size=(m, h, w), dtype=np.int8),
-        "Wrd": rng.integers(-2, 3, size=(m, h, w), dtype=np.int8),
-    }
+    out = {}
+    # draw order is part of the committed-dump contract — do not reorder
+    if game == "atari":
+        out["Ridx"] = atari_parity_pixel_indices(k)
+    else:
+        out["Wr"] = rng.integers(-3, 4, size=(c, h, w, k), dtype=np.int8)
+    out["Wd"] = rng.integers(-2, 3, size=(k, k), dtype=np.int8)
+    out["Wa"] = rng.integers(-7, 8, size=(ca, hh, wh, k), dtype=np.int8)
+    out["Wp"] = rng.integers(-7, 8, size=(m, hh, wh, a), dtype=np.int8)
+    out["Wv"] = rng.integers(-3, 4, size=(m, hh, wh), dtype=np.int8)
+    out["Wvd"] = rng.integers(-2, 3, size=(m, hh, wh), dtype=np.int8)
+    out["Wrd"] = rng.integers(-2, 3, size=(m, hh, wh), dtype=np.int8)
+    return out
 
 
 def jax_muzero_parity_network(game: str, atari_mode: bool = False):
@@ -163,23 +251,28 @@ def jax_muzero_parity_network(game: str, atari_mode: bool = False):
     from minizero_tpu.models.muzero import MuZeroNetwork
 
     c, h, w, a = GAME_DIMS[game]
+    hh, wh = HIDDEN_DIMS.get(game, (h, w))
+    ca = ACTION_FEATURE_CHANNELS.get(game, 1)
     m = int(MZ_HIDDEN_CHANNELS)
-    k = m * h * w
+    k = m * hh * wh
     D = int(MZ_DISCRETE_SIZE)
+    ws = muzero_parity_weights(game)
+    ridx = jnp.asarray(ws["Ridx"]) if game == "atari" else None
 
     def mod16(t):
         return t - MZ_MOD * jnp.floor(t / MZ_MOD)
 
     def mod_d(t):
-        b = t - float(D) * jnp.floor(t / float(D))
+        b = t - MZ_BIN_MOD * jnp.floor(t / MZ_BIN_MOD)
         return jnp.clip(b, 0, D - 1).astype(jnp.int32)
 
     class MZParityNet(MuZeroNetwork):
         def setup(self):
             z = nn.initializers.zeros
-            self.Wr = self.param("Wr", z, (c * h * w, k), jnp.float32)
+            if game != "atari":
+                self.Wr = self.param("Wr", z, (c * h * w, k), jnp.float32)
             self.Wd = self.param("Wd", z, (k, k), jnp.float32)
-            self.Wa = self.param("Wa", z, (h * w, k), jnp.float32)
+            self.Wa = self.param("Wa", z, (ca * hh * wh, k), jnp.float32)
             self.Wp = self.param("Wp", z, (k, a), jnp.float32)
             self.Wv = self.param("Wv", z, (k,), jnp.float32)
             self.Wvd = self.param("Wvd", z, (k,), jnp.float32)
@@ -200,14 +293,23 @@ def jax_muzero_parity_network(game: str, atari_mode: bool = False):
 
         def initial_inference(self, state, train: bool = False):
             x = jnp.transpose(state.astype(jnp.float32), (0, 3, 1, 2))
-            hidden = mod16(x.reshape(x.shape[0], c * h * w) @ self.Wr)
+            xf = x.reshape(x.shape[0], c * h * w)
+            if game == "atari":
+                # byte-exact pixel gather: (pixel/255)*255 rounds to exactly
+                # the byte — but ONLY with an explicit round: under jit XLA
+                # fuses the multiply into an FMA inside mod16's subtraction
+                # (--xla_allow_excess_precision), skipping the intermediate
+                # rounding and leaving k*(1+eps) residues
+                hidden = mod16(jnp.round(xf[:, ridx] * 255.0))
+            else:
+                hidden = mod16(xf @ self.Wr)
             out = self._predict(hidden)
             out["hidden_state"] = hidden
             return out
 
         def recurrent_inference(self, hidden_state, action_plane, train: bool = False):
             ap = jnp.transpose(action_plane.astype(jnp.float32), (0, 3, 1, 2))
-            t = hidden_state @ self.Wd + ap.reshape(ap.shape[0], h * w) @ self.Wa
+            t = hidden_state @ self.Wd + ap.reshape(ap.shape[0], ca * hh * wh) @ self.Wa
             hidden = mod16(t)
             out = self._predict(hidden)
             out["hidden_state"] = hidden
@@ -221,23 +323,23 @@ def jax_muzero_parity_network(game: str, atari_mode: bool = False):
 
     net = MZParityNet(
         num_input_channels=c, input_height=h, input_width=w,
-        num_hidden_channels=m, hidden_height=h, hidden_width=w,
-        num_action_feature_channels=1, num_blocks=0, action_size=a,
+        num_hidden_channels=m, hidden_height=hh, hidden_width=wh,
+        num_action_feature_channels=ca, num_blocks=0, action_size=a,
         num_value_hidden_channels=1,
         discrete_value_size=D if atari_mode else 1,
         atari_mode=atari_mode,
     )
-    ws = muzero_parity_weights(game)
-    variables = {"params": {
-        "Wr": jnp.asarray(ws["Wr"], jnp.float32).reshape(c * h * w, k),
+    params = {
         "Wd": jnp.asarray(ws["Wd"], jnp.float32),
-        "Wa": jnp.asarray(ws["Wa"], jnp.float32).reshape(h * w, k),
+        "Wa": jnp.asarray(ws["Wa"], jnp.float32).reshape(ca * hh * wh, k),
         "Wp": jnp.asarray(ws["Wp"], jnp.float32).reshape(k, a),
         "Wv": jnp.asarray(ws["Wv"], jnp.float32).reshape(k),
         "Wvd": jnp.asarray(ws["Wvd"], jnp.float32).reshape(k),
         "Wrd": jnp.asarray(ws["Wrd"], jnp.float32).reshape(k),
-    }}
-    return net, variables
+    }
+    if game != "atari":
+        params["Wr"] = jnp.asarray(ws["Wr"], jnp.float32).reshape(c * h * w, k)
+    return net, {"params": params}
 
 
 def feature_checksum(flat_chw_nonzero: np.ndarray) -> int:

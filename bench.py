@@ -68,20 +68,47 @@ def _bench_az200(trained: bool) -> dict:
     batch = 1024
     states = engine.init_batch(batch)
     rng, k = jax.random.split(jax.random.PRNGKey(1))
-    moves = 4
-    _, states, enable, msr = engine.move_scan(variables, states, k, 1.0, moves)
+    warm_moves, moves = 4, 16  # >=16 chained moves: 4-move samples are too
+    # exposed to the tunnel's 0.1-100 ms RTT swings (VERDICT r2 weak #3)
+    _, states, enable, msr = engine.move_scan(variables, states, k, 1.0, warm_moves)
     jax.block_until_ready(jax.tree_util.tree_leaves(states)[0])
     t0 = time.perf_counter()
     rng, k = jax.random.split(rng)
     _, states, enable, msr = engine.move_scan(variables, states, k, 1.0, moves, enable, msr)
     jax.block_until_ready(jax.tree_util.tree_leaves(states)[0])
     dt = time.perf_counter() - t0
-    return {
+    out = {
         "env_steps_per_s": round(batch * moves / dt, 1),
         "weights": label,
         "batch_games": batch,
         "moves_timed": moves,
     }
+    if trained:
+        # trace-based net-vs-tree device split for the flagship az config
+        import tempfile
+
+        from minizero_tpu.tools.trace_report import aggregate
+
+        trace_dir = tempfile.mkdtemp(prefix="bench_az200_trace_")
+        with jax.profiler.trace(trace_dir):
+            rng, k = jax.random.split(rng)
+            _, states, enable, msr = engine.move_scan(
+                variables, states, k, 1.0, 4, enable, msr)
+            jax.block_until_ready(jax.tree_util.tree_leaves(states)[0])
+        rows, total_ps = aggregate(trace_dir, by="op")
+        total = float(total_ps) or 1.0
+        net_ps = sum(r[1] for r in rows if any(
+            s in r[0].lower() for s in ("conv", "dot", "fusion.clone")))
+        tree_ps = sum(r[1] for r in rows if "custom-call" in r[0].lower())
+        out["device_split"] = {
+            "net_pct": round(100.0 * net_ps / total, 1),
+            "tree_kernel_pct": round(100.0 * tree_ps / total, 1),
+            "top_ops": [
+                {"op": r[0][:40], "pct": round(100.0 * r[1] / total, 1)}
+                for r in rows[:4]
+            ],
+        }
+    return out
 
 
 def _bench_mz50_search() -> dict:
@@ -128,6 +155,32 @@ def _bench_mz50_search() -> dict:
     jax.block_until_ready(out.action)
     return {"search_ms": round((time.perf_counter() - t0) / reps * 1000.0, 2),
             "batch": b, "sims": 50}
+
+
+def _atari_e2e_from_run() -> dict:
+    """Atari gmz end-to-end throughput, read from the committed on-chip run
+    (runs/atari_gmz_r3_b128, round 3: FakeALE backend, b=128, n=12) —
+    measured by scripts/run_atari_gmz.py, not re-run here (a full Atari
+    iteration takes ~30 min wall, dominated by the HOST-side env stepping
+    on this 2-CPU machine while the chip idles between search dispatches)."""
+    import os
+    import re
+
+    log = os.path.join(os.path.dirname(__file__), "runs", "atari_gmz_r3_b128.log")
+    if not os.path.exists(log):
+        return {"skipped": "no atari run artifact"}
+    text = open(log, errors="ignore").read()
+    sp = re.findall(r"\[Iteration\] \d+: self-play (\d+) games in ([\d.]+)s", text)
+    opt = re.findall(r"\[Optimization\] iteration \d+: (\d+) steps in ([\d.]+)s", text)
+    if not sp or not opt:
+        return {"skipped": "run log incomplete"}
+    games, secs = int(sp[-1][0]), float(sp[-1][1])
+    return {
+        "selfplay_env_steps_per_s": round(games * 215 / secs, 1),  # 215 moves/seq
+        "optimize_steps_per_s": round(int(opt[-1][0]) / float(opt[-1][1]), 2),
+        "note": "host-env (FakeALE) bound on 2 CPUs; measured by the run, "
+                "see runs/atari_gmz_r3_b128.log",
+    }
 
 
 def _trace_top_ops(engine, variables, states, rng) -> list:
@@ -224,6 +277,7 @@ def main(batch_size: int = 1024, measure_moves: int = 12) -> None:
         ("az200_trained", lambda: _bench_az200(trained=True)),
         ("az200_random_init", lambda: _bench_az200(trained=False)),
         ("mz50_atari_search", _bench_mz50_search),
+        ("atari_gmz_e2e_run_measured", _atari_e2e_from_run),
         ("gaz_top_ops_device_time",
          lambda: _trace_top_ops(engine, variables, states, rng)),
     ):

@@ -35,7 +35,7 @@ if os.environ.get("MINIZERO_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["MINIZERO_PLATFORM"])
 
 
-def main(run_dir, interval=10, games=96, conf_override="", out_suffix=""):
+def main(run_dir, interval=10, games=96, conf_override="", out_suffix="", opening_plies=0):
     import pickle
     import time
 
@@ -73,7 +73,8 @@ def main(run_dir, interval=10, games=96, conf_override="", out_suffix=""):
     for i in range(1, len(sel)):
         va = load_checkpoint_variables(sel[i], cfg, net, env.spec)
         t0 = time.time()
-        r = play_match(cfg, va, vb, num_games=games, seed=1000 + i)
+        r = play_match(cfg, va, vb, num_games=games, seed=1000 + i,
+                       opening_random_plies=opening_plies)
         gain = elo_from_win_rate(r.p1_win_rate)
         elo += gain
         points.append({"step": steps_of(sel[i]), "elo": round(elo, 1)})
@@ -87,6 +88,7 @@ def main(run_dir, interval=10, games=96, conf_override="", out_suffix=""):
         vb = va
 
     out = {"run": run_dir, "interval_iters": interval, "games_per_pair": games,
+           "opening_random_plies": opening_plies,
            "protocol": {
                "num_simulation": cfg.actor_num_simulation,
                "select_by_count": cfg.actor_select_action_by_count,
@@ -134,4 +136,5 @@ if __name__ == "__main__":
          int(sys.argv[2]) if len(sys.argv) > 2 else 10,
          int(sys.argv[3]) if len(sys.argv) > 3 else 96,
          sys.argv[4] if len(sys.argv) > 4 else "",
-         sys.argv[5] if len(sys.argv) > 5 else "")
+         sys.argv[5] if len(sys.argv) > 5 else "",
+         int(sys.argv[6]) if len(sys.argv) > 6 else 0)

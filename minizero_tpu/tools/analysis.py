@@ -33,7 +33,13 @@ def parse_op_log(path: str) -> Dict[str, List]:
 
 def parse_training_log(path: str) -> Dict[str, List]:
     """Self-play statistics lines written per iteration
-    (zero/loop.py; reference zero_server.cpp:240-263)."""
+    (zero/loop.py; reference zero_server.cpp:240-263).
+
+    A crash-resumed run replays its in-flight iteration, appending a second
+    ``[Iteration] N`` block to the same log (runs/atari_gmz_r3_b128 has four
+    iteration-1 blocks from OBS resumes). Blocks are therefore keyed by
+    iteration number and the LAST occurrence wins, so resumed runs plot one
+    point per iteration instead of one per attempt."""
     out: Dict[str, List] = defaultdict(list)
     if not os.path.exists(path):
         return out
@@ -41,20 +47,28 @@ def parse_training_log(path: str) -> Dict[str, List]:
     ret_pat = re.compile(r"\[SelfPlay Game Returns\].*avg: ([0-9.-]+)")
     it_pat = re.compile(r"\[Iteration\] (\d+): self-play (\d+) games in ([0-9.]+)s")
     opt_pat = re.compile(r"\[Optimization\] iteration (\d+): \d+ steps in ([0-9.]+)s")
+    blocks: Dict[int, Dict[str, float]] = {}
+    cur: Dict[str, float] = {}
     for line in open(path):
         m = it_pat.search(line)
         if m:
-            out["iteration"].append(int(m.group(1)))
-            out["sp_time_s"].append(float(m.group(3)))
+            cur = blocks.setdefault(int(m.group(1)), {})
+            cur["sp_time_s"] = float(m.group(3))
         m = len_pat.search(line)
         if m:
-            out["length_avg"].append(float(m.group(1)))
+            cur["length_avg"] = float(m.group(1))
         m = ret_pat.search(line)
         if m:
-            out["return_avg"].append(float(m.group(1)))
+            cur["return_avg"] = float(m.group(1))
         m = opt_pat.search(line)
         if m:
-            out["op_time_s"].append(float(m.group(2)))
+            blocks.setdefault(int(m.group(1)), cur)["op_time_s"] = float(m.group(2))
+    for it in sorted(blocks):
+        blk = blocks[it]
+        out["iteration"].append(it)
+        for key in ("sp_time_s", "length_avg", "return_avg", "op_time_s"):
+            if key in blk:
+                out[key].append(blk[key])
     return out
 
 

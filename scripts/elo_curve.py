@@ -89,10 +89,14 @@ def main(run_dir, interval=10, games=96, conf_override="", out_suffix="", openin
 
     out = {"run": run_dir, "interval_iters": interval, "games_per_pair": games,
            "opening_random_plies": opening_plies,
+           # Effective eval protocol: play_match forces eval_mode=True
+           # (argmax visit count, exploration noise off) regardless of the
+           # training-config values, so record what actually ran.
            "protocol": {
                "num_simulation": cfg.actor_num_simulation,
-               "select_by_count": cfg.actor_select_action_by_count,
-               "noise": cfg.actor_use_dirichlet_noise or cfg.actor_use_gumbel_noise,
+               "eval_mode": True,
+               "select_by_count": True,
+               "noise": False,
                "conf_override": conf_override,
            },
            "points": points, "matches": results}

@@ -291,3 +291,30 @@ def test_plot_board_hex_family(tmp_path):
                 s = env.step(s, jnp.int32(a))
         out = plot_board(env, s, str(tmp_path / f"{name}.png"), title=name)
         assert os.path.getsize(out) > 5000
+
+def test_parse_training_log_dedupes_resumed_iterations(tmp_path):
+    """A crash-resumed run appends a second [Iteration] N block to the same
+    Training.log (runs/atari_gmz_r3_b128 had four iteration-1 blocks from
+    OBS resumes); the parser must keep one point per iteration — the last
+    attempt — so analysis plots don't double-count (VERDICT r3 weak #5)."""
+    from minizero_tpu.tools.analysis import parse_training_log
+
+    log = tmp_path / "Training.log"
+    block = (
+        "[t] [Iteration] {it}: self-play 8 games in {sp}s (0.1 games/s)\n"
+        "[t] [SelfPlay Game Lengths] min: 1, max: 9, avg: {length}, std: 1.0\n"
+        "[t] [SelfPlay Game Returns] min: -1, max: 1, avg: {ret}, std: 0.5\n"
+        "[t] [Optimization] iteration {it}: 2 steps in {op}s\n"
+    )
+    log.write_text(
+        block.format(it=1, sp=10.0, length=5.0, ret=0.1, op=2.0)
+        + block.format(it=1, sp=12.0, length=6.0, ret=0.2, op=3.0)  # resume replay
+        + block.format(it=1, sp=14.0, length=7.0, ret=0.3, op=4.0)  # resume replay
+        + block.format(it=2, sp=20.0, length=8.0, ret=0.4, op=5.0)
+    )
+    tl = parse_training_log(str(log))
+    assert tl["iteration"] == [1, 2]
+    assert tl["sp_time_s"] == [14.0, 20.0]  # last attempt wins
+    assert tl["length_avg"] == [7.0, 8.0]
+    assert tl["return_avg"] == [0.3, 0.4]
+    assert tl["op_time_s"] == [4.0, 5.0]

@@ -92,6 +92,20 @@ class Env:
         ``getEvalScore``)."""
         raise NotImplementedError
 
+    def terminal_score_inputs(self, state: Any) -> Any:
+        """Minimal sub-pytree of ``state`` that ``eval_score_from`` needs.
+
+        The self-play engines score terminal leaves inside a ``lax.cond``
+        that skips the work on simulations where no game's leaf is terminal
+        (almost all of them); big cond operands force buffer copies at the
+        region boundary, so envs with an expensive score (Go's flood-fill)
+        override this to pass only what the score reads (the board)."""
+        return state
+
+    def eval_score_from(self, inputs: Any) -> jnp.ndarray:
+        """``eval_score`` evaluated from ``terminal_score_inputs(state)``."""
+        return self.eval_score(inputs)
+
     def resign_eval_score(self, state: Any) -> jnp.ndarray:
         """Eval score when the player to move resigns: next player wins
         (reference ``tictactoe.cpp:61-63``)."""

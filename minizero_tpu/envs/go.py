@@ -341,13 +341,23 @@ class GoEnv(Env):
         reach, _ = jax.lax.while_loop(cond, body, (reach0, jnp.any(reach0)))
         return reach
 
+    def terminal_score_inputs(self, state: GoState) -> jnp.ndarray:
+        """The Tromp-Taylor score reads only the board — engines pass just
+        this (83KB at b=1024) through the terminal-scoring lax.cond."""
+        return state.board
+
+    def eval_score_from(self, board: jnp.ndarray) -> jnp.ndarray:
+        return self._score_board(board)
+
     def eval_score(self, state: GoState) -> jnp.ndarray:
+        return self._score_board(state.board)
+
+    def _score_board(self, board: jnp.ndarray) -> jnp.ndarray:
         """Tromp-Taylor result (reference go.cpp:259-277, 703-723): an empty
         region counts for a colour iff it reaches only that colour.
         Flood-fill reachability via shifts — the previous CC-label + one-hot
         formulation cost ~9ms per b=1024 call on TPU (per-lane gathers);
         this is pure VPU elementwise work."""
-        board = state.board
         empty = board == 0
         reach_b = self._flood_empty(board == 1, empty)
         reach_w = self._flood_empty(board == 2, empty)

@@ -206,7 +206,16 @@ class KillAllGoEnv(GoEnv):
     def eval_score(self, state: GoState) -> jnp.ndarray:
         """Black wins iff White has no stones or Black is pass-alive
         everywhere (killallgo.cpp:43-49)."""
-        benson_b = self._benson_bitboard(state.board, state.labels, 1)
-        no_white = ~jnp.any(state.board == 2)
+        return self.eval_score_from((state.board, state.labels))
+
+    def terminal_score_inputs(self, state: GoState):
+        # killall scoring reads board + block labels (NOT GoEnv's board-only
+        # Tromp-Taylor form)
+        return (state.board, state.labels)
+
+    def eval_score_from(self, inputs) -> jnp.ndarray:
+        board, labels = inputs
+        benson_b = self._benson_bitboard(board, labels, 1)
+        no_white = ~jnp.any(board == 2)
         black_all = jnp.sum(benson_b.astype(jnp.int32)) == self.nn
         return jnp.where(no_white | black_all, 1.0, -1.0).astype(jnp.float32)

@@ -55,3 +55,10 @@ class NoGoEnv(GoEnv):
     def eval_score(self, state: GoState) -> jnp.ndarray:
         """The player to move (who is stuck) loses (reference nogo.h:68-76)."""
         return jnp.where(state.turn == 1, -1.0, 1.0).astype(jnp.float32)
+
+    def terminal_score_inputs(self, state: GoState) -> jnp.ndarray:
+        # NoGo's score reads only the turn (NOT GoEnv's board/Tromp-Taylor)
+        return state.turn
+
+    def eval_score_from(self, turn: jnp.ndarray) -> jnp.ndarray:
+        return jnp.where(turn == 1, -1.0, 1.0).astype(jnp.float32)

@@ -431,7 +431,7 @@ def expand_node(
 
 
 def store_embedding_batch(trees: Tree, slot: jnp.ndarray, leaf_embedding: Any,
-                          enabled: jnp.ndarray) -> Tree:
+                          enabled: Any = None) -> Tree:
     """Write the batch's leaf embeddings into node ``slot`` of every tree.
 
     ``slot`` is batch-uniform (the sim counter: node s is created at sim s),
@@ -439,11 +439,19 @@ def store_embedding_batch(trees: Tree, slot: jnp.ndarray, leaf_embedding: Any,
     in-place inside the sim loop, where a per-game masked rewrite would copy
     the full [B, N, ...] embedding arrays every simulation. ``enabled``
     (bool[B]) keeps the old content for games that revisited an existing
-    node instead of creating one."""
+    node instead of creating one; pass ``None`` to write unconditionally
+    WITHOUT reading the current slot — correct whenever node ``slot`` can
+    only be referenced if sim ``slot`` created it (the kernel sim loops:
+    a game whose selection revisited an existing node never allocates node
+    ``slot``, so clobbering it is harmless), and required for in-place
+    updates, because the read-modify-write form reads the carried buffer
+    before writing it, which forces XLA to keep a second copy alive."""
     def write(full, leaf):
-        cur = jax.lax.dynamic_slice_in_dim(full, slot, 1, axis=1)[:, 0]
-        m = enabled.reshape((-1,) + (1,) * (leaf.ndim - 1))
-        sel = jnp.where(m, leaf.astype(full.dtype), cur)
+        sel = leaf.astype(full.dtype)
+        if enabled is not None:
+            cur = jax.lax.dynamic_slice_in_dim(full, slot, 1, axis=1)[:, 0]
+            m = enabled.reshape((-1,) + (1,) * (leaf.ndim - 1))
+            sel = jnp.where(m, sel, cur)
         return jax.lax.dynamic_update_slice_in_dim(full, sel[:, None], slot, axis=1)
 
     return trees.replace(

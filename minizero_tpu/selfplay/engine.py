@@ -224,6 +224,26 @@ class SelfPlayEngine:
         return jnp.zeros(out["policy"].shape[0], jnp.float32)
 
     # ---------------------------------------------------------------- search
+    def _leaf_scores(self, leaf_states, leaf_terminal):
+        """Terminal-leaf outcomes, f32[B]; zeros on non-terminal lanes.
+
+        The true outcome only matters on the rare simulations where some
+        game's leaf IS terminal, but the masked form pays the score every
+        sim — for Go that is two flood-fill while-loops to the Tromp-Taylor
+        fixpoint, 12.8% of gaz device time in the round-3 trace. A lax.cond
+        over the whole state was measured slower than always scoring
+        (~1.75 vs ~0.64 ms/sim — the conditional forces buffer copies at
+        the region boundary), so the cond receives only the env's minimal
+        score operand (``terminal_score_inputs``: the 83KB board for Go)."""
+        env = self.env
+        batch = leaf_terminal.shape[0]
+        ops = jax.vmap(env.terminal_score_inputs)(leaf_states)
+        return jax.lax.cond(
+            jnp.any(leaf_terminal),
+            lambda m, op: jnp.where(m, jax.vmap(env.eval_score_from)(op), 0.0),
+            lambda m, op: jnp.zeros((batch,), jnp.float32),
+            leaf_terminal, ops)
+
     def _move_impl(self, variables, states, rng, temperature):
         env, spec = self.env, self.spec
         batch = jax.tree_util.tree_leaves(states)[0].shape[0]
@@ -387,14 +407,14 @@ class SelfPlayEngine:
                     variables, leaf_feats, jax.random.split(k_rot, batch)
                 )
             # terminal leaves back up the true outcome instead of the net
-            # value (reference zero_actor.cpp:79-86). Unconditional masked
-            # compute: a lax.cond here costs ~1.75ms/sim on TPU (the
-            # conditional forces buffer copies at the region boundary) vs
-            # ~0.64ms for always scoring — see CLAUDE.md ablation notes
+            # value (reference zero_actor.cpp:79-86); _leaf_scores skips the
+            # flood-fill on sims with no terminal leaf via a small-operand
+            # lax.cond (a whole-state cond was measured slower than always
+            # scoring: ~1.75 vs ~0.64 ms/sim, region-boundary copies)
             if "score" in ablate:
                 scores = jnp.zeros((batch,), jnp.float32)
             else:
-                scores = jnp.where(leaf_terminal, jax.vmap(env.eval_score)(leaf_states), 0.0)
+                scores = self._leaf_scores(leaf_states, leaf_terminal)
             value = jnp.where(leaf_terminal, scores, net_value)
             reward = jax.vmap(env.reward)(leaf_states)
             leaf_embedding = leaf_states
@@ -468,7 +488,7 @@ class SelfPlayEngine:
             leaf_policy, leaf_logits, net_value = self._forward_features(
                 variables, leaf_feats, jax.random.split(k_rot, K * batch)
             )
-            scores = jnp.where(leaf_terminal, jax.vmap(env.eval_score)(leaf_states), 0.0)
+            scores = self._leaf_scores(leaf_states, leaf_terminal)
             value = jnp.where(leaf_terminal, scores, net_value)
             reward = jax.vmap(env.reward)(leaf_states)
             leaf_legal = jax.vmap(env.legal_mask)(leaf_states)
@@ -631,7 +651,8 @@ class SelfPlayEngine:
                 trees, _, _ = self._az_root_trees(
                     cast, states, feats, legal, turns, k_rot, k_noise, v2=False)
                 trees, sel = self._kernel_phase0(trees)
-                return trees, sel, rng
+                pending = jax.tree_util.tree_map(lambda x: x[:, 0], trees.embedding)
+                return trees, sel, pending, rng
             self._az_init_timed_jit = jax.jit(impl)
         return self._az_init_timed_jit(variables, states, rng)
 
@@ -643,10 +664,10 @@ class SelfPlayEngine:
         key = (lo, hi)
         if key not in cache:
             def impl(variables, carry):
-                trees, sel, rng = carry
+                trees, sel, pending, rng = carry
                 cast = self._cast_variables(variables)
                 sim_body = self._make_kernel_sim_body(cast, trees.visits.shape[0])
-                return jax.lax.fori_loop(lo, hi, sim_body, (trees, sel, rng))
+                return jax.lax.fori_loop(lo, hi, sim_body, (trees, sel, pending, rng))
             cache[key] = jax.jit(impl)
         return cache[key](variables, carry)
 
@@ -655,7 +676,7 @@ class SelfPlayEngine:
         (action, policy_target, root_value, resign, trees)."""
         if not hasattr(self, "_az_finish_timed_jit"):
             def impl(carry, temperature):
-                trees, _, rng = carry
+                trees, _, _, rng = carry
                 trees = self._kernel_masks_to_bool(trees)
                 _, k_sel = jax.random.split(rng)
                 action, policy_target, root_value, resign = self._decide(
@@ -672,17 +693,28 @@ class SelfPlayEngine:
         batch = trees.visits.shape[0]
         bool_masks = trees.expanded.dtype == jnp.bool_
         trees, sel = self._kernel_phase0(trees)
+        pending = jax.tree_util.tree_map(lambda x: x[:, 0], trees.embedding)
 
         sim_body = self._make_kernel_sim_body(variables, batch)
-        trees, _, rng = jax.lax.fori_loop(
-            1, spec.num_simulations + 1, sim_body, (trees, sel, rng))
+        trees, _, _, rng = jax.lax.fori_loop(
+            1, spec.num_simulations + 1, sim_body, (trees, sel, pending, rng))
         if bool_masks:
             trees = self._kernel_masks_to_bool(trees)
         return trees
 
     def _make_kernel_sim_body(self, variables, batch):
         """One v1-kernel simulation: leaf env step + net eval + fused tree op.
-        Carry = (trees_i32, next_selection, rng)."""
+        Carry = (trees_i32, next_selection, pending_embedding, rng).
+
+        ``pending`` is the PREVIOUS simulation's leaf state, stored into its
+        node slot at the START of this iteration — before the one-hot parent
+        read — so the carried [B, N, ...] embedding arrays see write-then-read
+        order and stay in place. The original read-then-write order (pick
+        parent, then store this sim's leaf at the end) made XLA keep a second
+        copy of the embedding buffers live across every iteration (~50 MB/sim
+        at Go9 b=1024 — the fori-loop 'self time' in the round-3 trace).
+        Storing unconditionally (no ``enabled`` mask) is correct because node
+        ``s`` is only ever referenced when sim ``s`` created it."""
         env, spec = self.env, self.spec
         iota_n = jnp.arange(spec.max_nodes, dtype=jnp.int32)
 
@@ -695,7 +727,8 @@ class SelfPlayEngine:
             return jnp.sum(jnp.where(m, x, jnp.zeros((), x.dtype)), axis=1, dtype=x.dtype)
 
         def sim_body(s, carry):
-            trees, sel, rng = carry
+            trees, sel, pending, rng = carry
+            trees = mcts.store_embedding_batch(trees, s - 1, pending)
             rng, k_rot = jax.random.split(rng)
             parent_oh = jnp.maximum(sel.parent, 0)[:, None] == iota_n[None, :]
             parent_embedding = jax.tree_util.tree_map(
@@ -707,8 +740,7 @@ class SelfPlayEngine:
             leaf_policy, leaf_logits, net_value = self._forward_features(
                 variables, leaf_feats, jax.random.split(k_rot, batch)
             )
-            scores = jnp.where(
-                leaf_terminal, jax.vmap(env.eval_score)(leaf_states), 0.0)
+            scores = self._leaf_scores(leaf_states, leaf_terminal)
             value = jnp.where(leaf_terminal, scores, net_value)
             leaf_legal = jax.vmap(env.legal_mask)(leaf_states)
             leaf_turn = jax.vmap(env.turn)(leaf_states).astype(jnp.int32)
@@ -717,8 +749,7 @@ class SelfPlayEngine:
                 spec, trees, sel, leaf_policy, leaf_logits, leaf_legal,
                 leaf_terminal, value, leaf_turn, s, 1,
                 interpret=self._kernel_interpret)
-            trees = mcts.store_embedding_batch(trees, s, leaf_states, sel.is_new)
-            return trees, nsel, rng
+            return trees, nsel, leaf_states, rng
 
         return sim_body
 
@@ -768,7 +799,17 @@ class SelfPlayEngine:
             spec, packed, sel, *dummy, 0, 0, interpret=interp)
 
         def sim_body(s, carry):
-            packed, sel, blob, rng = carry
+            """Carry = (packed, sel, blob, pending_row, rng). The previous
+            sim's leaf row is stored at the START of the iteration — before
+            the gather — so the blob sees write-then-read order and updates
+            in place; the original gather-then-update order made XLA keep a
+            second copy of the ~0.6 GB blob live across every simulation.
+            The store is unconditional (no is_new mask, so no read of the
+            current row either): node s-1 is only referenced if sim s-1
+            created it, so clobbering an unallocated slot is harmless."""
+            packed, sel, blob, pending, rng = carry
+            blob = jax.lax.dynamic_update_slice_in_dim(
+                blob, pending[:, None], s - 1, axis=1)
             rng, k_rot = jax.random.split(rng)
             prow = gather_rows(blob, jnp.maximum(sel.parent, 0),
                                interpret=interp)
@@ -779,8 +820,7 @@ class SelfPlayEngine:
             leaf_policy, _, net_value = self._forward_features(
                 variables, leaf_feats, jax.random.split(k_rot, batch)
             )
-            scores = jnp.where(
-                leaf_terminal, jax.vmap(env.eval_score)(leaf_states), 0.0)
+            scores = self._leaf_scores(leaf_states, leaf_terminal)
             value = jnp.where(leaf_terminal, scores, net_value)
             leaf_legal = jax.vmap(env.legal_mask)(leaf_states)
             leaf_turn = jax.vmap(env.turn)(leaf_states).astype(jnp.int32)
@@ -789,21 +829,19 @@ class SelfPlayEngine:
                 spec, packed, sel, leaf_policy, leaf_legal, leaf_terminal,
                 value, leaf_turn, s, 1, interpret=interp)
             row = pad_w(pack_rows(bspec, leaf_states))
-            cur = jax.lax.dynamic_slice_in_dim(blob, s, 1, axis=1)[:, 0]
-            row = jnp.where(sel.is_new[:, None], row, cur)
-            blob = jax.lax.dynamic_update_slice_in_dim(
-                blob, row[:, None], s, axis=1)
-            return packed, nsel, blob, rng
+            return packed, nsel, blob, row, rng
 
         lo = 1
-        carry = (packed, sel, blob, rng)
+        pending = blob[:, 0]  # root row: re-stored at s=1, idempotent
+        carry = (packed, sel, blob, pending, rng)
         for cap in caps:
-            packed, sel, blob, rng = carry
+            packed, sel, blob, pending, rng = carry
             if packed.visits.shape[1] < cap:
                 packed = grow(packed, cap)
                 sel = sel._replace(path=jnp.pad(
                     sel.path, ((0, 0), (0, cap - sel.path.shape[1]))))
-            carry = jax.lax.fori_loop(lo, cap, sim_body, (packed, sel, blob, rng))
+            carry = jax.lax.fori_loop(
+                lo, cap, sim_body, (packed, sel, blob, pending, rng))
             lo = cap
         packed = carry[0]
         return unpack_trees(spec, packed, trees)

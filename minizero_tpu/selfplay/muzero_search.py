@@ -154,9 +154,16 @@ def make_muzero_search(
         return trees, sel
 
     def kernel_sim_body(s, carry):
-        trees, sel, variables, rng = carry
+        """Carry = (trees, sel, pending_hidden, variables, rng). The previous
+        sim's hidden state is stored at the START of the iteration — before
+        the one-hot parent read — so the carried [B, N, h, w, C] embedding
+        stays in place (read-then-write forced XLA to keep a second copy
+        live every sim). Unconditional store: node s-1 is only referenced
+        if sim s-1 created it (MuZero interiors always do)."""
+        trees, sel, pending, variables, rng = carry
         interpret = jax.default_backend() != "tpu"
         batch = trees.visits.shape[0]
+        trees = mcts.store_embedding_batch(trees, s - 1, pending)
         rng, _ = jax.random.split(rng)
         parent_oh = jnp.maximum(sel.parent, 0)[:, None] == iota_n[None, :]
         parent_embedding = jax.tree_util.tree_map(
@@ -171,14 +178,13 @@ def make_muzero_search(
             spec, trees, sel, policy, logits, jnp.ones((batch, A), bool),
             jnp.zeros((batch,), bool), value, leaf_turn, s, 1,
             interpret=interpret, leaf_reward=reward)
-        trees = mcts.store_embedding_batch(trees, s, hidden, sel.is_new)
-        return trees, nsel, variables, rng
+        return trees, nsel, hidden, variables, rng
 
     def _advance_kernel(variables, carry, lo, hi):
-        trees, sel, rng = carry
-        trees, sel, _, rng = jax.lax.fori_loop(
-            lo, hi, kernel_sim_body, (trees, sel, variables, rng))
-        return trees, sel, rng
+        trees, sel, pending, rng = carry
+        trees, sel, pending, _, rng = jax.lax.fori_loop(
+            lo, hi, kernel_sim_body, (trees, sel, pending, variables, rng))
+        return trees, sel, pending, rng
 
     def _masks_to_bool(trees):
         if trees.expanded.dtype != jnp.bool_:
@@ -292,7 +298,9 @@ def make_muzero_search(
             trees, rng = _think_batch_rounds(variables, trees, rng, 0, rounds)
             return trees, rng
         trees, sel = _kernel_init(trees)
-        trees, sel, rng = _advance_kernel(variables, (trees, sel, rng), lo, hi_)
+        pending = jax.tree_util.tree_map(lambda x: x[:, 0], trees.embedding)
+        trees, sel, _, rng = _advance_kernel(
+            variables, (trees, sel, pending, rng), lo, hi_)
         return _masks_to_bool(trees), rng
 
     def search(variables, feats, legal, turns, rng, temperature) -> SearchResult:
@@ -343,13 +351,14 @@ def make_muzero_search(
     def init_timed(variables, feats, legal, turns, rng):
         trees, rng = _root_setup(variables, feats, legal, turns, rng)
         trees, sel = _kernel_init(trees)
-        return trees, sel, rng
+        pending = jax.tree_util.tree_map(lambda x: x[:, 0], trees.embedding)
+        return trees, sel, pending, rng
 
     def advance_timed(variables, carry, lo, hi):
         return _advance_kernel(variables, carry, lo, hi)
 
     def finish_timed(carry, temperature):
-        trees, _, rng = carry
+        trees, _, _, rng = carry
         trees = _masks_to_bool(trees)
         return _decide(trees, rng, temperature), trees
 

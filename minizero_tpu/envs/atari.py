@@ -71,18 +71,22 @@ def make_ale(rom_path: str, seed: int):
 class FakeALE:
     """Minimal ALE-compatible stub for tests: deterministic pseudo-screens,
     reward = action id parity, 3 lives, episode ends after ``length``
-    frames."""
+    frames. Screen shifts are accumulated lazily and materialised once per
+    ``getScreenRGB`` (consecutive np.rolls compose additively), which keeps
+    the frameskip-4 hot loop at one 100KB copy per env step instead of
+    four."""
 
     def __init__(self, seed: int = 0, length: int = 64, minimal_actions=(0, 1, 2, 3)):
         self.rng = np.random.RandomState(seed)
         self.frame = 0
         self.length = length
         self._minimal = list(minimal_actions)
-        self._screen = self.rng.randint(0, 255, (210, 160, 3), np.uint8)
+        self._base = self.rng.randint(0, 255, (210, 160, 3), np.uint8)
+        self._shift = 0
 
     def act(self, action: int) -> float:
         self.frame += 1
-        self._screen = np.roll(self._screen, int(action) + 1, axis=0)
+        self._shift = (self._shift + int(action) + 1) % self._base.shape[0]
         return float(int(action) % 2)
 
     def game_over(self, *_args, **_kwargs) -> bool:
@@ -95,20 +99,24 @@ class FakeALE:
         return list(self._minimal)
 
     def getScreenRGB(self):
-        return self._screen
+        return np.roll(self._base, self._shift, axis=0) if self._shift else self._base
 
     def reset_game(self):
+        # NOTE: like the original stub, the screen is NOT restored — only
+        # the frame counter (fresh episodes construct a fresh FakeALE)
         self.frame = 0
 
 
 def _resize_rgb(screen: np.ndarray, res: int = RESOLUTION) -> np.ndarray:
-    """Nearest-neighbour resize to [res, res, 3] float32 in [0, 1] (the
-    reference uses OpenCV interpolation; nearest keeps this dependency-free
-    and is visually equivalent for 96x96 RL inputs)."""
+    """Nearest-neighbour resize to u8[res, res, 3] (the reference uses
+    OpenCV interpolation; nearest keeps this dependency-free and is
+    visually equivalent for 96x96 RL inputs). Kept as uint8 — the history
+    ring, record features, and device upload all consume bytes; /255
+    happens once on device."""
     h, w = screen.shape[:2]
     ri = (np.arange(res) * h // res).astype(np.int32)
     ci = (np.arange(res) * w // res).astype(np.int32)
-    return screen[ri][:, ci].astype(np.float32) / 255.0
+    return screen[ri][:, ci]
 
 
 class AtariEnv:
@@ -140,7 +148,7 @@ class AtariEnv:
         self.lives_history: List[int] = [self.ale.lives()]
         self.total_reward = 0.0
         self.reward = 0.0
-        self._obs_history = np.zeros((HISTORY, RESOLUTION, RESOLUTION, 3), np.float32)
+        self._obs_history = np.zeros((HISTORY, RESOLUTION, RESOLUTION, 3), np.uint8)
         self._obs_history[-1] = _resize_rgb(np.asarray(self.ale.getScreenRGB()))
         self._action_history = np.zeros((HISTORY,), np.float32)
 
@@ -174,8 +182,24 @@ class AtariEnv:
         planes = np.empty((RESOLUTION, RESOLUTION, HISTORY * 4), np.float32)
         for i in range(HISTORY):
             planes[:, :, 4 * i] = self._action_history[i]
+            planes[:, :, 4 * i + 1: 4 * i + 4] = self._obs_history[i].astype(np.float32) / 255.0
+        return planes
+
+    def features_u8(self) -> np.ndarray:
+        """u8[96, 96, 32] record-schema features: RGB planes verbatim from
+        the u8 history ring, action planes quantised as clip(id/18*255) —
+        the exact bytes ``rebuild_features_from_frames`` reconstructs."""
+        planes = np.empty((RESOLUTION, RESOLUTION, HISTORY * 4), np.uint8)
+        aplane = np.clip(self._action_history * 255.0, 0, 255).astype(np.uint8)
+        for i in range(HISTORY):
+            planes[:, :, 4 * i] = aplane[i]
             planes[:, :, 4 * i + 1: 4 * i + 4] = self._obs_history[i]
         return planes
+
+    def newest_frame(self) -> np.ndarray:
+        """u8[96, 96, 3]: the most recent observation — the per-move device
+        upload (the 8-frame feature stack lives on device as a ring)."""
+        return self._obs_history[-1]
 
     def eval_score(self) -> float:
         return self.total_reward
@@ -231,6 +255,12 @@ class AtariVecEnv:
 
     def features(self) -> np.ndarray:
         return np.stack([e.features() for e in self.envs])
+
+    def features_u8(self) -> np.ndarray:
+        return np.stack([e.features_u8() for e in self.envs])
+
+    def newest_frames(self) -> np.ndarray:
+        return np.stack([e.newest_frame() for e in self.envs])
 
     def legal_masks(self) -> np.ndarray:
         return np.stack([e.legal_mask() for e in self.envs])

@@ -61,17 +61,53 @@ class HostSelfPlayEngine:
                 onehot[None, None, :], (spec.hidden_height, spec.hidden_width, c)
             )
 
-        self._search = jax.jit(
-            make_muzero_search(
-                network,
-                self.search_spec,
-                action_features,
-                spec.num_players,
-                discrete_value=spec.discrete_value_size > 1,
-                compute_dtype=self.compute_dtype,
-                resign_threshold=cfg.actor_resign_threshold,
-            )
+        search = make_muzero_search(
+            network,
+            self.search_spec,
+            action_features,
+            spec.num_players,
+            discrete_value=spec.discrete_value_size > 1,
+            compute_dtype=self.compute_dtype,
+            resign_threshold=cfg.actor_resign_threshold,
         )
+        self._search = jax.jit(search)
+
+        # Device-resident feature ring: the 8-frame history stack lives on
+        # device as u8[B, 8, 96, 96, 3] + action ids i32[B, 8]; each move
+        # uploads only the NEW frame (u8[B, 96, 96, 3], ~3.5 MB at b=128)
+        # instead of the full stacked f32 features (~150 MB — which, over
+        # the tunneled TPU, was the 7.3 s/move 'host-bound' cost the
+        # round-3 Atari run measured). Ring update + feature build + search
+        # are one fused jit, so there is a single dispatch per move.
+        from minizero_tpu.envs.atari import ACTION_SIZE as _A
+
+        def update_and_search(variables, ring, ahist, frame, action, fresh,
+                              legal, rng, temperature):
+            b = ring.shape[0]
+            fresh5 = fresh[:, None, None, None, None]
+            ring = jnp.where(fresh5, jnp.uint8(0), ring)
+            ahist = jnp.where(fresh[:, None], 0, ahist)
+            ring = jnp.concatenate([ring[:, 1:], frame[:, None]], axis=1)
+            ahist = jnp.concatenate([ahist[:, 1:], action[:, None]], axis=1)
+            feats = _features_from_ring(ring, ahist)
+            turns = jnp.ones((b,), jnp.int32)
+            res = search(variables, feats, legal, turns, rng, temperature)
+            return ring, ahist, res
+
+        def _features_from_ring(ring, ahist):
+            b, h = ring.shape[0], ring.shape[1]
+            r = ring.shape[2]
+            obs = ring.astype(jnp.float32) / 255.0  # [B, 8, 96, 96, 3]
+            aplane = (ahist.astype(jnp.float32) / _A)[:, :, None, None, None]
+            aplane = jnp.broadcast_to(aplane, (b, h, r, r, 1))
+            stacked = jnp.concatenate([aplane, obs], axis=-1)  # [B,8,96,96,4]
+            # channel layout 4i..4i+3 = [action_i, R_i, G_i, B_i]
+            return stacked.transpose(0, 2, 3, 1, 4).reshape(b, r, r, h * 4)
+
+        self._features_from_ring = _features_from_ring  # test hook
+        self._update_and_search = jax.jit(update_and_search)
+        self._ring = None
+        self._ahist = None
 
     def _cast_variables(self, variables):
         dt = self.compute_dtype
@@ -81,30 +117,40 @@ class HostSelfPlayEngine:
         )
 
     def move(self, variables, rng, temperature: float = 1.0) -> HostMoveOutput:
-        feats = self.vec_env.features()  # f32[B, H, W, C]
+        envs = self.vec_env.envs
+        batch = len(envs)
+        # per-move device upload: ONLY the newest frame + last action + masks;
+        # the search features are assembled from the device ring
+        frames = self.vec_env.newest_frames()  # u8[B, 96, 96, 3]
+        fresh = np.asarray([len(e.actions) == 0 for e in envs])
+        last_actions = np.asarray(
+            [e.actions[-1] if e.actions else 0 for e in envs], np.int32)
         legal = self.vec_env.legal_masks()
-        batch = feats.shape[0]
-        turns = jnp.ones((batch,), jnp.int32)
-        lives_before = np.asarray([e.lives_history[-1] for e in self.vec_env.envs])
-        res = self._search(
+        if self._ring is None:
+            from minizero_tpu.envs.atari import HISTORY, RESOLUTION
+
+            self._ring = jnp.zeros(
+                (batch, HISTORY, RESOLUTION, RESOLUTION, 3), jnp.uint8)
+            self._ahist = jnp.zeros((batch, HISTORY), jnp.int32)
+        lives_before = np.asarray([e.lives_history[-1] for e in envs])
+        features_u8 = self.vec_env.features_u8()  # record schema (pre-move)
+        self._ring, self._ahist, res = self._update_and_search(
             self._cast_variables(variables),
-            jnp.asarray(feats),
-            jnp.asarray(legal),
-            turns,
-            rng,
-            jnp.float32(temperature),
+            self._ring, self._ahist,
+            jnp.asarray(frames), jnp.asarray(last_actions), jnp.asarray(fresh),
+            jnp.asarray(legal), rng, jnp.float32(temperature),
         )
         actions = np.asarray(res.action)
         rewards = self.vec_env.step(actions)
         done = self.vec_env.terminals()
-        lives_after = np.asarray([e.lives_history[-1] for e in self.vec_env.envs])
-        scores = np.asarray([e.eval_score() for e in self.vec_env.envs], np.float32)
+        lives_after = np.asarray([e.lives_history[-1] for e in envs])
+        scores = np.asarray([e.eval_score() for e in envs], np.float32)
         return HostMoveOutput(
             action=actions,
             policy_target=np.asarray(res.policy_target),
             root_value=np.asarray(res.root_value),
             reward=rewards,
-            features=np.clip(feats * 255.0, 0, 255).astype(np.uint8),
+            features=features_u8,
             done=done,
             eval_score=scores,
             lives_lost=lives_after < lives_before,

@@ -90,7 +90,7 @@ class AtariObsReplayer:
         self._sessions: dict = {}
 
     def _frame(self, env) -> np.ndarray:
-        return np.clip(env._obs_history[-1] * 255.0, 0, 255).astype(np.uint8)
+        return env.newest_frame()  # u8 history ring, verbatim bytes
 
     def __call__(self, record: str) -> Optional[np.ndarray]:
         from minizero_tpu.envs.atari import ACTION_SIZE, AtariEnv

@@ -82,6 +82,35 @@ def test_host_engine_drive():
     assert batch["actions"].shape == (4, cfg.learner_muzero_unrolling_step)
 
 
+def test_host_engine_device_ring_matches_host_features():
+    """The search consumes features assembled from the DEVICE frame ring
+    (only the newest u8 frame is uploaded per move); they must equal the
+    host-side stacked features bit-for-bit across moves AND episode resets."""
+    cfg = default_config(
+        "atari",
+        actor_num_simulation=2,
+        nn_num_blocks=1,
+        nn_num_hidden_channels=8,
+        nn_num_value_hidden_channels=8,
+    )
+    vec = AtariVecEnv(2, ale_factory=lambda s: FakeALE(seed=s, length=12))
+    net = create_network(cfg, vec.spec)
+    variables = init_network(net, vec.spec, jax.random.PRNGKey(0))
+    engine = HostSelfPlayEngine(vec, cfg, net, use_bf16=False)
+    rng = jax.random.PRNGKey(7)
+    saw_reset = False
+    for _ in range(8):  # episodes last 12/4 = 3 moves -> several resets
+        host_feats = vec.features()  # pre-move, f32
+        rng, k = jax.random.split(rng)
+        engine.move(variables, rng=k)
+        dev_feats = np.asarray(
+            engine._features_from_ring(engine._ring, engine._ahist))
+        np.testing.assert_allclose(dev_feats, host_feats, atol=1e-6)
+        if vec.reset_done():
+            saw_reset = True
+    assert saw_reset
+
+
 def test_chunking_ranges():
     cfg = default_config(
         "atari",
@@ -144,7 +173,7 @@ def test_rebuild_features_from_frames_roundtrip():
     env = _fake_env(seed=3, length=60)
     feats = []
     for a in [1, 3, 0, 2, 1, 1, 0, 3, 2, 1]:
-        feats.append(np.clip(env.features() * 255.0, 0, 255).astype(np.uint8))
+        feats.append(env.features_u8())
         env.step(a)
     feats = np.stack(feats)
     actions = np.array([1, 3, 0, 2, 1, 1, 0, 3, 2, 1], np.int32)
@@ -220,7 +249,7 @@ def test_obs_recover_roundtrip_chunked():
     chunks = []
     t = 0
     while not env.is_terminal():
-        feats = np.clip(env.features() * 255.0, 0, 255).astype(np.uint8)[None]
+        feats = env.features_u8()[None]
         a = (t * 7) % 4
         env.step(a)
         out = HostMoveOutput(

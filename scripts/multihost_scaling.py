@@ -60,7 +60,7 @@ print(f"WORKER_{pid}_DONE")
 
 
 def run_config(nproc: int, games_per_iter: int, iters: int,
-               batch_per_host: int = 32) -> float:
+               batch_per_host: int = 32, pin_core=None) -> float:
     """Returns games/host/s over iterations 2..iters (host-0 log timestamps)."""
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -68,10 +68,18 @@ def run_config(nproc: int, games_per_iter: int, iters: int,
     run_dir = tempfile.mkdtemp(prefix=f"mh_scale_{nproc}p_")
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # pin each process to its own core ("one host per process"): without
+    # pinning, every globally-synchronized dispatch rendezvous busy-waits
+    # while the OTHER process's compute threads thrash the same 2 cores —
+    # gang-scheduling collapse (measured 2% efficiency at batch 256) that a
+    # real multi-host deployment, with per-host CPUs, does not have
+    pin = nproc > 1 or pin_core is not None
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _WORKER, str(pid), str(nproc), str(port),
-             run_dir, REPO, str(games_per_iter), str(iters), str(batch_per_host)],
+            ((["taskset", "-c", str(pin_core if pin_core is not None else pid)]
+              if pin else [])
+             + [sys.executable, "-c", _WORKER, str(pid), str(nproc), str(port),
+                run_dir, REPO, str(games_per_iter), str(iters), str(batch_per_host)]),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
         for pid in range(nproc)
     ]
@@ -107,7 +115,9 @@ def run_independent_pair(games_per_iter: int, iters: int,
     results = [None, None]
 
     def worker(i):
-        results[i] = run_config(1, games_per_iter, iters, batch_per_host)
+        # pin like the distributed run: one core per "host"
+        results[i] = run_config(1, games_per_iter, iters, batch_per_host,
+                                pin_core=i)
 
     ts = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
     for t in ts:

@@ -45,6 +45,7 @@ small trees and stay on v1. Validated in interpret mode against
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -57,7 +58,16 @@ from minizero_tpu.search.mcts import SearchSpec, Tree
 NEG_INF = -3.4e38
 BIG_I = 1 << 29
 _SPARE = 8  # spare lanes for packed node scalars
-_VMEM_BUDGET = 100 * 1024 * 1024
+_MB = 1024 * 1024
+# Working-set budget for tile selection AND the declared vmem_limit. The
+# original 100MB (≈ the whole chip's VMEM) made pick_tile choose tiles that
+# filled VMEM, so XLA evicted the NET WEIGHTS around every per-simulation
+# kernel call — the round-4 az200 trace showed ~47k tiny param re-staging
+# copy-starts per 4 moves (~60 per sim, ~34% of device time: bf16[256]
+# BN vectors and 1x1 kernels at ~250us apiece). A small budget keeps the
+# net resident between kernel calls at the cost of more grid steps.
+# Override for experiments: MINIZERO_V2_VMEM_MB.
+_VMEM_BUDGET = int(os.environ.get("MINIZERO_V2_VMEM_MB", "28")) * _MB
 
 
 class PackedTrees(NamedTuple):
@@ -520,7 +530,7 @@ def fused_tree_step_v2(
         input_output_aliases=aliases,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_BUDGET + 28 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_BUDGET + 28 * _MB),
     )(*prefetch, *tree_in, *other_in)
 
     nt = len(tree_in)

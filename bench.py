@@ -29,16 +29,23 @@ REFERENCE_ENV_STEPS_PER_S = 1000.0  # estimated reference GPU worker (see above)
 
 
 def _latest_trained_ckpt():
-    """Newest Go9 gaz checkpoint from the training runs in runs/ (used to
-    measure az n=200 with realistic, peaked priors — the random-init depth
-    wall is an artifact of uniform priors, see CLAUDE.md)."""
+    """Newest Go9 AZ-trained checkpoint from the training runs in runs/.
+
+    Prefer the az n=200 run's own weights: a net trained WITH the az
+    search gives the shallow, peaked-prior walks the production run
+    actually sees. The gaz-trained net (previous fallback) is off-policy
+    for n=200 — its priors at az-search depths are flat enough to behave
+    like the random-init depth wall (round 4: bench said 572 env-steps/s
+    on gaz weights while the live az200 training run measured ~1,900)."""
     import glob
     import os
     import re
 
     cands = []
-    for run in ("runs/go9_gaz_full", "runs/go9_gaz_r1", "runs/go9_gaz"):
-        cands += glob.glob(os.path.join(os.path.dirname(__file__), run, "model", "weight_iter_*.ckpt"))
+    for run in ("runs/go9_az200_r3b", "runs/go9_gaz_full", "runs/go9_gaz_r1"):
+        cands = glob.glob(os.path.join(os.path.dirname(__file__), run, "model", "weight_iter_*.ckpt"))
+        if cands:
+            break
     if not cands:
         return None
     return max(cands, key=lambda p: (int(re.search(r"(\d+)", os.path.basename(p)).group(1)),))
@@ -189,6 +196,36 @@ def _atari_e2e_from_run() -> dict:
     }
 
 
+def _az200_production_from_run() -> dict:
+    """az n=200 throughput measured by the LIVE training run's own
+    [SelfPlay Timing] lines (runs/go9_az200_r3b.launch.log): chunks x 8
+    moves x 1024 slots over the collect wall — steady-state production
+    numbers on the run's own trained weights."""
+    import os
+    import re
+
+    log = os.path.join(os.path.dirname(__file__), "runs", "go9_az200_r3b.launch.log")
+    if not os.path.exists(log):
+        return {"skipped": "no az200 run log"}
+    rows = re.findall(
+        r"\[SelfPlay Timing\] chunks: (\d+) x (\d+) moves, dispatch: [\d.]+s, "
+        r"collect: ([\d.]+)s", open(log, errors="ignore").read())
+    if len(rows) < 5:
+        return {"skipped": "az200 run log too short"}
+    rows = rows[-20:]  # steady state
+    steps = sum(int(c) * int(m) * 1024 for c, m, _ in rows)
+    secs = sum(float(s) for _, _, s in rows)
+    return {
+        "env_steps_per_s": round(steps / max(secs, 1e-9), 1),
+        "batch_games": 1024,
+        "iterations_averaged": len(rows),
+        "vs_reference_cpu_worker_n200": round(steps / secs / 5.12, 1),
+        "vs_reference_gpu_worker_est_n200": round(steps / secs / 78.5, 1),
+        "note": "measured by the live go9_az200_r3b training run (az-trained "
+                "weights; the synthetic bench below uses the same ckpt)",
+    }
+
+
 def _trace_top_ops(engine, variables, states, rng) -> list:
     """Per-op device time for one gaz chunk via jax.profiler
     (tools/trace_report.py) — the regression-grade signal next to the
@@ -280,6 +317,7 @@ def main(batch_size: int = 1024, measure_moves: int = 12) -> None:
     # (VERDICT r1 #2/#3); each guarded so a failure can't kill the headline
     extras = {}
     for key, fn in (
+        ("az200_production_run_measured", _az200_production_from_run),
         ("az200_trained", lambda: _bench_az200(trained=True)),
         ("az200_random_init", lambda: _bench_az200(trained=False)),
         ("mz50_atari_search", _bench_mz50_search),

@@ -179,8 +179,11 @@ def _atari_e2e_from_run() -> dict:
     import os
     import re
 
-    log = os.path.join(os.path.dirname(__file__), "runs", "atari_gmz_r3_b128.log")
-    if not os.path.exists(log):
+    runs = os.path.join(os.path.dirname(__file__), "runs")
+    log = next((p for p in (os.path.join(runs, "atari_gmz_r4_b128.log"),
+                            os.path.join(runs, "atari_gmz_r3_b128.log"))
+                if os.path.exists(p)), None)
+    if log is None:
         return {"skipped": "no atari run artifact"}
     text = open(log, errors="ignore").read()
     sp = re.findall(r"\[Iteration\] \d+: self-play (\d+) games in ([\d.]+)s", text)
@@ -191,8 +194,8 @@ def _atari_e2e_from_run() -> dict:
     return {
         "selfplay_env_steps_per_s": round(games * 215 / secs, 1),  # 215 moves/seq
         "optimize_steps_per_s": round(int(opt[-1][0]) / float(opt[-1][1]), 2),
-        "note": "host-env (FakeALE) bound on 2 CPUs; measured by the run, "
-                "see runs/atari_gmz_r3_b128.log",
+        "note": "host-env (FakeALE) on 2 CPUs; measured by the run, "
+                f"see {os.path.relpath(log, os.path.dirname(__file__))}",
     }
 
 

@@ -75,7 +75,14 @@ def _bench_az200(trained: bool) -> dict:
     batch = 1024
     states = engine.init_batch(batch)
     rng, k = jax.random.split(jax.random.PRNGKey(1))
-    warm_moves, moves = 4, 16  # >=16 chained moves: 4-move samples are too
+    # steady-state warm-up: a FRESH batch puts all 1024 games in the opening
+    # phase — the deep-walk worst case for az n=200 (uniform-prior walks
+    # retrace one chain, CLAUDE.md "depth wall") — which is why the round-4
+    # synthetic bench read 567 env-steps/s while the production loop (whose
+    # batch mixes phases via in-scan game resets) measured 2,357. Warming
+    # ~56 moves reaches the production phase mix before timing.
+    warm_moves = 56 if trained else 4
+    moves = 16  # >=16 chained moves: 4-move samples are too
     # exposed to the tunnel's 0.1-100 ms RTT swings (VERDICT r2 weak #3)
     _, states, enable, msr = engine.move_scan(variables, states, k, 1.0, warm_moves)
     jax.block_until_ready(jax.tree_util.tree_leaves(states)[0])
@@ -90,6 +97,7 @@ def _bench_az200(trained: bool) -> dict:
         "weights": label,
         "batch_games": batch,
         "moves_timed": moves,
+        "warm_moves": warm_moves,
         # per-config denominators (BASELINE.md round-4 refbench measurement:
         # reference CPU worker at az n=200 = 5.12 env-steps/s; GPU estimate =
         # the fixed 1000 n=16 figure scaled by the measured CPU ratio)
@@ -186,15 +194,28 @@ def _atari_e2e_from_run() -> dict:
     if log is None:
         return {"skipped": "no atari run artifact"}
     text = open(log, errors="ignore").read()
-    sp = re.findall(r"\[Iteration\] \d+: self-play (\d+) games in ([\d.]+)s", text)
+    # env-steps = games x the ADJACENT [SelfPlay Game Lengths] avg, not a
+    # hardcoded sequence length: iterations can emit shorter terminal chunks
+    # (advisor r4: the 215-move hardcode inflated a 10-move iteration 21x)
+    sp = re.findall(
+        r"\[Iteration\] (\d+): self-play (\d+) games in ([\d.]+)s.*?"
+        r"\[SelfPlay Game Lengths\][^\n]*avg: ([\d.]+)",
+        text, re.S)
     opt = re.findall(r"\[Optimization\] iteration \d+: (\d+) steps in ([\d.]+)s", text)
     if not sp or not opt:
         return {"skipped": "run log incomplete"}
-    games, secs = int(sp[-1][0]), float(sp[-1][1])
+    # iteration 1 includes jit compile; prefer steady-state iterations
+    rows = [r for r in sp if int(r[0]) > 1] or sp
+    steps = sum(int(g) * float(avg) for _, g, _, avg in rows)
+    secs = sum(float(s) for _, _, s, _ in rows)
+    o_rows = opt[1:] or opt
     return {
-        "selfplay_env_steps_per_s": round(games * 215 / secs, 1),  # 215 moves/seq
-        "optimize_steps_per_s": round(int(opt[-1][0]) / float(opt[-1][1]), 2),
-        "note": "host-env (FakeALE) on 2 CPUs; measured by the run, "
+        "selfplay_env_steps_per_s": round(steps / max(secs, 1e-9), 1),
+        "optimize_steps_per_s": round(
+            sum(int(n) for n, _ in o_rows) / max(sum(float(s) for _, s in o_rows), 1e-9), 2),
+        "iterations_averaged": len(rows),
+        "note": "host-env (FakeALE) on 2 CPUs; measured by the run "
+                "(iteration 1 excluded: includes compile), "
                 f"see {os.path.relpath(log, os.path.dirname(__file__))}",
     }
 

@@ -368,7 +368,17 @@ class ZeroLoop:
 
         cfg = self.cfg
         temperature = temperature_for_iteration(cfg, iteration)
-        collector = AtariTrajectoryCollector(cfg, self.env.spec, self.selfplay_batch)
+        # the collector PERSISTS across iterations: episodes are tens of
+        # thousands of moves and keep running while the loop alternates
+        # self-play/optimize phases, exactly like the reference's actors keep
+        # their episode state between server iterations. Recreating it per
+        # iteration (the round-4 bug) dropped each slot's accumulated prefix,
+        # so the first emission of iteration N+1 was a truncated tail chunk
+        # mislabeled as a fresh 10-move episode (runs/atari_gmz_r4_b128.log).
+        if getattr(self, "_atari_collector", None) is None:
+            self._atari_collector = AtariTrajectoryCollector(
+                cfg, self.env.spec, self.selfplay_batch)
+        collector = self._atari_collector
         lengths: list = []
         returns: list = []
         num_games = 0

@@ -1,5 +1,6 @@
 import sys, os, glob, pickle, re, time
-sys.path.insert(0, "/root/repo")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
@@ -8,7 +9,7 @@ from minizero_tpu.envs import make_env
 from minizero_tpu.eval.match import elo_from_win_rate, load_checkpoint_variables, play_match
 from minizero_tpu.models.factory import create_network
 
-run_dir = "/root/repo/runs/go9_gmz_r4"
+run_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(_REPO, "runs", "go9_gmz_r4")
 ck_new = os.path.join(run_dir, "model", "weight_iter_25000.ckpt")
 ck_old = os.path.join(run_dir, "model", "weight_iter_0.ckpt")
 conf_text = pickle.load(open(ck_new, "rb"))["config"]

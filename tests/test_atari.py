@@ -346,3 +346,49 @@ def test_run_selfplay_host_mode(tmp_path):
     lines = open(out).read().strip().splitlines()
     assert len(lines) >= 2
     assert "SD[" in lines[0] and "OBS[" in lines[0] and "LL[" in lines[0]
+
+
+def test_zero_loop_atari_collector_persists_across_iterations(tmp_path):
+    """Episodes that span an iteration boundary must keep their accumulated
+    prefix: the round-4 bug recreated the AtariTrajectoryCollector each
+    iteration, so iteration N+1 emitted the episode TAIL as a bogus fresh
+    game (10-move records with no OFF tag, runs/atari_gmz_r4_b128.log)."""
+    import re as _re
+
+    from minizero_tpu.zero.loop import ZeroLoop
+
+    # 12-move episodes (48 frames / frameskip 4), seqlen 4, margin 2+2=4:
+    # chunks emit at moves 4 and 8, so iteration 1 (4 chunks) stops at move
+    # 8 mid-episode; iteration 2 must then emit the TERMINAL chunks of the
+    # same episodes with OFF[4] (abs positions 4..11), not fresh 4-movers.
+    cfg = default_config(
+        "atari",
+        actor_num_simulation=2,
+        nn_num_blocks=1,
+        nn_num_hidden_channels=8,
+        nn_num_value_hidden_channels=8,
+        zero_num_parallel_games=2,
+        zero_num_games_per_iteration=4,
+        zero_end_iteration=2,
+        learner_training_step=2,
+        learner_training_display_step=2,
+        learner_batch_size=4,
+        learner_muzero_unrolling_step=2,
+        learner_n_step_return=2,
+        zero_actor_intermediate_sequence_length=4,
+        program_auto_seed=False,
+    )
+    run_dir = str(tmp_path / "run")
+    loop = ZeroLoop(cfg, run_dir, ale_factory=lambda s: FakeALE(seed=s, length=48))
+    loop.run()
+    it1 = open(f"{run_dir}/sgf/1.sgf").read().strip().splitlines()
+    it2 = open(f"{run_dir}/sgf/2.sgf").read().strip().splitlines()
+    assert len(it1) == 4 and len(it2) == 4
+    for line in it1:  # intermediate chunks from moves 4 and 8 only
+        assert "OFF[" not in line
+    # iteration 2 starts with the carried episodes' TERMINAL chunks: the
+    # round-4 bug instead produced OFF-less 4-move tails here
+    terminal_chunks = [ln for ln in it2 if "OFF[4]" in ln]
+    assert len(terminal_chunks) == 2
+    for line in terminal_chunks:
+        assert len(_re.findall(r";B\[", line)) == 8

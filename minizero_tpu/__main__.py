@@ -157,7 +157,7 @@ def run_selfplay_host(cfg, num_games: int, output: str, ale_factory=None) -> Non
             line = serialize_game(vec.spec.name, fg.record, vec.spec.board_size,
                                   fg.players, extra_tags=extra)
             if cfg.zero_actor_record_observations:
-                obs = fg.record.features[:, :, :, -3:]
+                obs = fg.record.frames[fg.record.frame_lead:]
                 line = line[:-1] + f"OBS[{pack_observations(obs)}]" + line[-1:]
             out.write(line + "\n")
             done += 1

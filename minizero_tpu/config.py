@@ -86,6 +86,7 @@ _PARAMS: Tuple[Tuple[str, Any, str, str], ...] = (
     ("learner_weight_decay", 0.0001, "weight decay; 0.0001 for sgd, 0 for adam, 0.01 for adamw", "Learner"),
     ("learner_value_loss_scale", 1.0, "scaling of the value loss", "Learner"),
     ("learner_num_thread", 8, "the number of threads for training", "Learner"),
+    ("learner_device_feature_window_gb", 8.0, "HBM budget for the device-resident Atari frame window (learner/frame_window.py); windows past the budget fall back to host-assembled feature uploads", "Learner"),
     # network parameters (configuration.cpp:68-73)
     ("nn_file_name", "", "the file name of model weights", "Network"),
     ("nn_num_blocks", 1, "the number of residual blocks", "Network"),

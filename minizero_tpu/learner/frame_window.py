@@ -1,0 +1,214 @@
+"""Device-resident Atari frame window.
+
+Round-4's Atari optimize phase re-uploaded 340 MB of stacked u8 feature
+planes per 9-step train chunk over the TPU tunnel; at the ~35 MB/s
+effective host->device bandwidth measured by ``scripts/probe_atari_opt.py``
+that upload was ~95% of the optimize wall (0.57 steps/s, VERDICT r4
+missing #1) while the actual device compute was 0.2 s/chunk.  The root
+cause is an 8x-redundant representation: the 32-channel MuZero-Atari
+feature stack (8 history frames x [action plane + RGB], reference
+``atari.cpp:112-122``) repeats every frame in 8 consecutive positions'
+stacks.
+
+TPU-native fix: store each position's single newest RGB frame once —
+records carry ``frames`` u8[lead+L, H, W, 3] instead of stacked
+``features`` u8[L, H, W, 32] (8x less host RAM too) — keep the whole
+replay window's frames resident on device as one u8 ring, and assemble
+the 32-channel stacks ON DEVICE from 8 gathered rows + broadcast action
+planes.  The per-chunk host->device traffic drops from 340 MB to ~1 MB of
+indices/masks/metadata; each game's frames upload once (right after
+self-play emits it, ~6 MB/game) instead of ~8x per optimize phase.
+
+The ``lead`` rows are up to 8 positions of pre-chunk history (frames +
+actions) so continuation chunks of long episodes assemble bit-exact
+stacks — the same bytes ``AtariVecEnv.features_u8`` produced at self-play
+time (``tests/test_frame_window.py`` asserts equality).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HISTORY = 8  # frames per stack (reference atari.h kHistorySize)
+
+
+def assemble_features(window: jnp.ndarray, idx: jnp.ndarray,
+                      valid: jnp.ndarray, aplane: jnp.ndarray) -> jnp.ndarray:
+    """u8 frame rows -> f32 stacked feature planes, on device.
+
+    window  u8[R, H, W, 3] — the resident frame ring
+    idx     i32[..., 8]    — window row of history slot k (0 oldest)
+    valid   bool[..., 8]   — False -> zero-pad (before episode start)
+    aplane  u8[..., 8]     — quantised action plane byte per slot
+    returns f32[..., H, W, 32] — channel 4k = action plane, 4k+1..3 = RGB
+    (reference ``atari.cpp:112-122``; parity with
+    ``AtariVecEnv.features_u8`` / ``rebuild_features_from_frames``).
+    """
+    lead_shape = idx.shape
+    h, w = window.shape[1], window.shape[2]
+    f = jnp.take(window, idx.reshape(-1), axis=0)  # [N, H, W, 3] one dense gather
+    f = f.reshape(*lead_shape, h, w, 3)
+    f = jnp.where(valid[..., None, None, None], f, jnp.uint8(0))
+    ap = jnp.broadcast_to(aplane[..., None, None, None], (*lead_shape, h, w, 1))
+    x = jnp.concatenate([ap, f], axis=-1)           # [..., 8, H, W, 4]
+    x = jnp.moveaxis(x, -4, -2)                     # [..., H, W, 8, 4]
+    x = x.reshape(*x.shape[:-2], HISTORY * 4)       # [..., H, W, 32]
+    # cast kept OUT of any conv-grad graph (XLA:TPU space-to-batch crash,
+    # CLAUDE.md): this function runs in its own jit, ahead of the train chunk
+    return x.astype(jnp.float32)
+
+
+def assemble_features_host(flat_frames: np.ndarray, idx: np.ndarray,
+                           valid: np.ndarray, aplane: np.ndarray) -> np.ndarray:
+    """Numpy mirror of :func:`assemble_features` (returns u8 planes).
+
+    Fallback when the frame window exceeds the device budget, and the
+    parity oracle for the device path."""
+    lead_shape = idx.shape
+    h, w = flat_frames.shape[1], flat_frames.shape[2]
+    f = flat_frames[idx.reshape(-1)].reshape(*lead_shape, h, w, 3)
+    f = np.where(valid[..., None, None, None], f, np.uint8(0))
+    ap = np.broadcast_to(aplane[..., None, None, None],
+                         (*lead_shape, h, w, 1)).astype(np.uint8)
+    x = np.concatenate([ap, f], axis=-1)
+    x = np.moveaxis(x, -4, -2)
+    return np.ascontiguousarray(x).reshape(*x.shape[:-2], HISTORY * 4)
+
+
+class DeviceFrameWindow:
+    """One u8 frame ring on device + host-side row bookkeeping.
+
+    Games claim contiguous row ranges in arrival order; the cursor wraps to
+    0 when a game would straddle the end (the short tail is wasted — at
+    most one game's rows), so a sample's 8 history rows never need modular
+    indexing.  Entries overwritten by the advancing cursor are dropped; the
+    owner must size ``rows`` to cover its replay window (``rows_needed``).
+
+    ``device=False`` keeps the same bookkeeping but mirrors rows in a host
+    array for :func:`assemble_features_host` (windows past the HBM budget).
+    """
+
+    def __init__(self, rows: int, height: int, width: int, device: bool = True):
+        self.rows = int(rows)
+        self.device = device
+        if device:
+            self.frames = jnp.zeros((self.rows, height, width, 3), jnp.uint8)
+
+            def _write(window, block, start):
+                return jax.lax.dynamic_update_slice(
+                    window, block, (start,) + (0,) * (window.ndim - 1))
+
+            self._write = jax.jit(_write, donate_argnums=0)
+        else:
+            self.frames = np.zeros((self.rows, height, width, 3), np.uint8)
+        self._cursor = 0
+        # id(record) -> dict(base, lead, n, aplane_full u8[lead+L], record)
+        # (the record ref keeps the id stable while the entry lives)
+        self._games: "OrderedDict[int, dict]" = OrderedDict()
+
+    @staticmethod
+    def rows_needed(cfg) -> int:
+        """Upper bound on live rows for a config's replay window."""
+        seqlen = cfg.zero_actor_intermediate_sequence_length
+        margin = cfg.learner_muzero_unrolling_step + cfg.learner_n_step_return
+        per_game = (seqlen + 2 * margin + HISTORY + 2) if seqlen > 0 else 30000
+        per_game += DeviceFrameWindow.BUCKET  # allocation rounding
+        games = cfg.zero_replay_buffer * cfg.zero_num_games_per_iteration
+        return per_game * games + per_game  # + wasted tail
+
+    #: rows are claimed in buckets so the jitted ring write sees a handful
+    #: of block shapes (each fresh shape is a remote XLA compile over the
+    #: tunnel); the padding rows belong to the claiming game, never a peer
+    BUCKET = 64
+
+    # ------------------------------------------------------------------ add
+    def add(self, record) -> None:
+        """Upload ``record.frames`` (u8[lead+L, H, W, 3]) into the ring."""
+        frames = record.frames
+        n = frames.shape[0]
+        n_alloc = -(-n // self.BUCKET) * self.BUCKET
+        if n_alloc > self.rows:
+            raise ValueError(f"frame window too small: game needs {n_alloc} "
+                             f"rows, ring has {self.rows}")
+        if self._cursor + n_alloc > self.rows:
+            self._evict_range(self._cursor, self.rows)  # wasted tail
+            self._cursor = 0
+        base = self._cursor
+        self._evict_range(base, base + n_alloc)
+        if self.device:
+            block = np.zeros((n_alloc,) + frames.shape[1:], np.uint8)
+            block[:n] = frames
+            self.frames = self._write(
+                self.frames, jnp.asarray(block), jnp.int32(base))
+        else:
+            self.frames[base:base + n] = frames
+        lead = record.frame_lead
+        lead_actions = (record.lead_actions if record.lead_actions is not None
+                        else np.zeros(0, np.int32))
+        actions_full = np.concatenate([np.asarray(lead_actions, np.int64),
+                                       np.asarray(record.actions, np.int64)])
+        # quantised action-plane byte per position (atari.cpp: action/|A|*255)
+        from minizero_tpu.envs.atari import ACTION_SIZE
+
+        aplane_full = np.clip(
+            actions_full.astype(np.float32) / ACTION_SIZE * 255.0, 0, 255
+        ).astype(np.uint8)
+        self._games[id(record)] = {
+            "base": base, "lead": int(lead), "n": n_alloc,
+            "aplane_full": aplane_full, "record": record,
+        }
+        self._cursor = base + n_alloc
+
+    def _evict_range(self, lo: int, hi: int) -> None:
+        for key in [k for k, e in self._games.items()
+                    if e["base"] < hi and e["base"] + e["n"] > lo]:
+            del self._games[key]
+
+    def retain(self, live_records: List) -> None:
+        """Drop bookkeeping for games evicted from the replay buffer."""
+        live = {id(r) for r in live_records}
+        for key in [k for k in self._games if k not in live]:
+            del self._games[key]
+
+    def __contains__(self, record) -> bool:
+        return id(record) in self._games
+
+    # --------------------------------------------------------------- lookup
+    def lookup(self, records: List, pos_ids: np.ndarray) -> Dict[str, np.ndarray]:
+        """Per-sample gather plan: window rows + masks + action-plane bytes.
+
+        ``records[i]`` is the sampled game of batch lane i, ``pos_ids[i]``
+        its position (0-based in the record's stored range)."""
+        b = len(records)
+        base = np.empty(b, np.int64)
+        lead = np.empty(b, np.int64)
+        entries = []
+        for i, rec in enumerate(records):
+            e = self._games.get(id(rec))
+            if e is None:
+                raise KeyError(
+                    "sampled game's frames were overwritten in the device "
+                    "ring — the window is undersized for the replay buffer "
+                    "(raise learner_device_feature_window_gb or lower "
+                    "zero_replay_buffer)")
+            entries.append(e)
+            base[i] = e["base"]
+            lead[i] = e["lead"]
+        pos = np.asarray(pos_ids, np.int64)
+        k = np.arange(HISTORY)
+        rel = lead[:, None] + pos[:, None] - (HISTORY - 1) + k  # [B, 8]
+        valid = rel >= 0
+        idx = base[:, None] + np.maximum(rel, 0)
+        # slot k's action plane: the action that LED to slot k's frame
+        arel = rel - 1
+        aplane = np.zeros((b, HISTORY), np.uint8)
+        for i, e in enumerate(entries):  # batch-size lanes, one numpy row each
+            av = arel[i] >= 0
+            aplane[i, av] = e["aplane_full"][arel[i][av]]
+        return {"frame_idx": idx.astype(np.int32), "frame_valid": valid,
+                "frame_aplane": aplane}

@@ -35,12 +35,20 @@ class GameRecord:
     policy: np.ndarray  # f16[L, A] normalised search policy (P tags)
     values: np.ndarray  # f32[L] root mean value per move (V tags)
     rewards: np.ndarray  # f32[L] env reward per move (R tags)
-    features: np.ndarray  # u8[L, H, W, C] pre-move feature planes
+    features: Optional[np.ndarray]  # u8[L, H, W, C] pre-move feature planes;
+    # None for frames-schema records (Atari): the stack is assembled at
+    # sample time from ``frames`` (learner/frame_window.py)
     result: float  # RE tag (eval score / return)
     data_range: Tuple[int, int] = (-1, -1)  # DLEN; (-1,-1) -> full game
     priorities: Optional[np.ndarray] = None  # f32[L]; None -> uniform
     lives_lost: Optional[np.ndarray] = None  # bool[L]; episodic-life cuts (L tags)
     value_targets: Optional[np.ndarray] = None  # f32[L] cache (set by add_game)
+    # frames schema (Atari): per-position newest RGB frame, u8[lead+L, H, W, 3]
+    # with ``frame_lead`` rows of pre-chunk history and the actions that led
+    # to those lead frames, so continuation chunks assemble bit-exact stacks
+    frames: Optional[np.ndarray] = None
+    frame_lead: int = 0
+    lead_actions: Optional[np.ndarray] = None  # i32[frame_lead]
 
     def __post_init__(self):
         if self.data_range == (-1, -1):
@@ -82,6 +90,8 @@ class ReplayBuffer:
         # iteration (first sample after the window changed); records are
         # re-pointed at views into the flat arrays so memory stays ~1x.
         self._data_version = -1
+        self._flat_ok = False  # flat data caches usable (features may still
+        # be absent under the frames schema — see frames_mode)
         self._flat_feats: Optional[np.ndarray] = None  # u8[T, H, W, C]
         self._flat_policy: Optional[np.ndarray] = None  # f16[T, A]
         self._flat_actions: Optional[np.ndarray] = None  # i32[T]
@@ -94,6 +104,12 @@ class ReplayBuffer:
 
     def __len__(self) -> int:
         return len(self.games)
+
+    @property
+    def frames_mode(self) -> bool:
+        """True when records carry per-position frames instead of stacked
+        feature planes (Atari; see learner/frame_window.py)."""
+        return bool(self.games) and self.games[0].features is None
 
     def _n_step_values_all(self, rec: GameRecord) -> np.ndarray:
         """Episodic-life n-step return with root-value bootstrap for EVERY
@@ -206,10 +222,11 @@ class ReplayBuffer:
         copy plus a transient during the rebuild."""
         self._ensure_flat()
         if self._data_version == self._games_version:
-            return self._flat_feats is not None
+            return self._flat_ok
         # invalidate BEFORE rebuilding: a mid-rebuild exception (e.g.
         # MemoryError on the concat transient) must not leave stale arrays
         # paired with new offsets behind a version that claims validity
+        self._flat_ok = False
         self._flat_feats = self._flat_policy = None
         self._flat_actions = self._flat_rewards = None
         self._data_version = self._games_version
@@ -220,18 +237,25 @@ class ReplayBuffer:
         self._dr_sizes = np.array(
             [g.data_range[1] - g.data_range[0] + 1 for g in games], np.int64)
         self._dr_cum = np.cumsum(self._dr_sizes)
-        feat_shapes = {g.features.shape[1:] for g in games}
-        total_bytes = sum(g.features.nbytes for g in games)
-        if (not games or len(feat_shapes) != 1
-                or total_bytes > self.FLAT_FEATURE_CACHE_MAX_BYTES):
-            self._flat_feats = self._flat_policy = None
-            self._flat_actions = self._flat_rewards = None
-            return False
+        # frames-schema records (Atari) carry no stacked features: the flat
+        # METADATA caches below still vectorize sampling; the stack itself is
+        # assembled from frames at sample time (learner/frame_window.py)
+        frames_mode = bool(games) and games[0].features is None
+        if not frames_mode:
+            feat_shapes = {g.features.shape[1:] for g in games}
+            total_bytes = sum(g.features.nbytes for g in games)
+            if (not games or len(feat_shapes) != 1
+                    or total_bytes > self.FLAT_FEATURE_CACHE_MAX_BYTES):
+                self._flat_feats = self._flat_policy = None
+                self._flat_actions = self._flat_rewards = None
+                self._flat_ok = False
+                return False
         # build into locals and publish _flat_feats LAST: a mid-build
         # exception (e.g. MemoryError) must leave the cache invalid (feats
         # None -> callers fall back to the per-game path) rather than half
         # built behind a version that claims validity
-        flat_feats = np.concatenate([g.features for g in games])
+        flat_feats = (None if frames_mode
+                      else np.concatenate([g.features for g in games]))
         self._flat_policy = np.concatenate(
             [np.asarray(g.policy, np.float16) for g in games])
         self._flat_actions = np.concatenate(
@@ -241,8 +265,10 @@ class ReplayBuffer:
         self._flat_feats = flat_feats
         for i, g in enumerate(games):
             o = int(self._flat_offsets[i])
-            g.features = self._flat_feats[o:o + g.length]
+            if not frames_mode:
+                g.features = self._flat_feats[o:o + g.length]
             g.policy = self._flat_policy[o:o + g.length]
+        self._flat_ok = True
         return True
 
     # ------------------------------------------------------------- sampling
@@ -280,6 +306,9 @@ class ReplayBuffer:
     def sample_alphazero(self, batch_size: int, rng: np.random.RandomState) -> Dict[str, np.ndarray]:
         """(features u8, policy, value, loss_scale) — rotation augmentation is
         applied later on device."""
+        if self.frames_mode:
+            raise NotImplementedError(
+                "frames-schema records (Atari) train through sample_muzero")
         game_ids, pos_ids, loss_scale = self.sample_indices(batch_size, rng)
         spec = self.spec
         if self._ensure_flat_data():
@@ -325,7 +354,10 @@ class ReplayBuffer:
             pos = pos_ids[:, None] + np.arange(k + 1)[None, :]  # [B, k+1]
             inside = pos < length[:, None]
             flat = offs[:, None] + np.minimum(pos, np.maximum(length - 1, 0)[:, None])
-            feats = self._flat_feats[offs + pos_ids]
+            # frames schema: no stacked features to gather — the caller
+            # assembles them on device from the sampled (game, pos) pairs
+            feats = (None if self.frames_mode
+                     else self._flat_feats[offs + pos_ids])
             # absorbing policy is uniform (reference base_env.h:262-264);
             # absorbing action features use a random action
             # (reference tictactoe.cpp:147-152)
@@ -346,15 +378,19 @@ class ReplayBuffer:
             else:
                 value = np.where(inside, self._flat_vt[flat], 0.0).astype(np.float32)
         else:
-            feat_c = self.games[game_ids[0]].features.shape[-1]
-            feats = np.empty((batch_size, spec.input_height, spec.input_width, feat_c), np.uint8)
+            frames_mode = self.frames_mode
+            feats = None
+            if not frames_mode:
+                feat_c = self.games[game_ids[0]].features.shape[-1]
+                feats = np.empty((batch_size, spec.input_height, spec.input_width, feat_c), np.uint8)
             actions = np.empty((batch_size, k), np.int32)
             policy = np.empty((batch_size, k + 1, a), np.float16)
             value = np.empty((batch_size, k + 1), np.float32)
             reward = np.zeros((batch_size, k), np.float32)
             for i, (g, p) in enumerate(zip(game_ids, pos_ids)):
                 rec = self.games[g]
-                feats[i] = rec.features[p]
+                if not frames_mode:
+                    feats[i] = rec.features[p]
                 for step in range(k + 1):
                     pos = p + step
                     inside = pos < rec.length
@@ -363,8 +399,7 @@ class ReplayBuffer:
                         reward[i, step] = rec.rewards[pos] if inside else 0.0
                     policy[i, step] = rec.policy[pos] if inside else uniform
                     value[i, step] = self.value_target(rec, pos)
-        return {
-            "features": feats,
+        out = {
             "actions": actions,
             "policy": policy,
             "value": value,
@@ -372,6 +407,9 @@ class ReplayBuffer:
             "loss_scale": loss_scale,
             "sampled_index": np.stack([game_ids, pos_ids], axis=1),
         }
+        if feats is not None:
+            out["features"] = feats
+        return out
 
     # -------------------------------------------------------------- PER sync
     def update_priority(self, sampled_index: np.ndarray, new_priorities: np.ndarray) -> None:

@@ -35,7 +35,9 @@ class HostMoveOutput(NamedTuple):
     policy_target: np.ndarray  # f32[B, A]
     root_value: np.ndarray  # f32[B]
     reward: np.ndarray  # f32[B]
-    features: np.ndarray  # u8[B, H, W, C] pre-move features
+    frames: np.ndarray  # u8[B, H, W, 3] pre-move NEWEST frame — records
+    # store single frames (frames schema, learner/frame_window.py); the
+    # 32-channel stack is assembled on device at train time
     done: np.ndarray  # bool[B]
     eval_score: np.ndarray  # f32[B]
     lives_lost: np.ndarray  # bool[B]
@@ -133,7 +135,6 @@ class HostSelfPlayEngine:
                 (batch, HISTORY, RESOLUTION, RESOLUTION, 3), jnp.uint8)
             self._ahist = jnp.zeros((batch, HISTORY), jnp.int32)
         lives_before = np.asarray([e.lives_history[-1] for e in envs])
-        features_u8 = self.vec_env.features_u8()  # record schema (pre-move)
         self._ring, self._ahist, res = self._update_and_search(
             self._cast_variables(variables),
             self._ring, self._ahist,
@@ -150,7 +151,8 @@ class HostSelfPlayEngine:
             policy_target=np.asarray(res.policy_target),
             root_value=np.asarray(res.root_value),
             reward=rewards,
-            features=features_u8,
+            frames=frames,  # the pre-move newest frames read above — the
+            # per-move 37 MB features_u8() stack assembly is gone entirely
             done=done,
             eval_score=scores,
             lives_lost=lives_after < lives_before,
@@ -172,8 +174,11 @@ class AtariTrajectoryCollector:
         # frees old observations in place, atari.cpp:86-91)
         return {
             "actions": [], "policy": [], "values": [], "rewards": [],
-            "features": [], "lives_lost": [], "offset": 0,
+            "frames": [], "lives_lost": [], "offset": 0,
         }
+
+    #: per-position history depth of the feature stack (atari.h)
+    HISTORY = 8
 
     def _margin(self) -> int:
         return self.cfg.learner_muzero_unrolling_step + self.cfg.learner_n_step_return
@@ -189,7 +194,7 @@ class AtariTrajectoryCollector:
             slot["policy"].append(out.policy_target[i].astype(np.float16))
             slot["values"].append(float(out.root_value[i]))
             slot["rewards"].append(float(out.reward[i]))
-            slot["features"].append(out.features[i])
+            slot["frames"].append(out.frames[i])
             slot["lives_lost"].append(bool(out.lives_lost[i]))
             length = slot["offset"] + len(slot["actions"])
             if out.done[i]:
@@ -223,14 +228,24 @@ class AtariTrajectoryCollector:
         # store [data_start .. min(len-1, data_end + margin)] so unroll/n-step
         # targets stay inside the chunk
         store_end = min(length - 1, data_end + margin)
-        assert data_start >= offset, "chunk start trimmed too aggressively"
+        # frames schema: prepend up to HISTORY-1 frames + HISTORY actions of
+        # pre-chunk history so every position's 8-deep stack (+ its action
+        # planes) assembles bit-exact, matching what features_u8 showed the
+        # search at self-play time (learner/frame_window.py)
+        lead = min(self.HISTORY, data_start)
+        assert data_start - lead >= offset, "chunk start trimmed too aggressively"
         sl = slice(data_start - offset, store_end + 1 - offset)
+        fsl = slice(data_start - lead - offset, store_end + 1 - offset)
+        lsl = slice(data_start - lead - offset, data_start - offset)
         record = GameRecord(
             actions=np.asarray(slot["actions"][sl], np.int32),
             policy=np.stack(slot["policy"][sl]),
             values=np.asarray(slot["values"][sl], np.float32),
             rewards=np.asarray(slot["rewards"][sl], np.float32),
-            features=np.stack(slot["features"][sl]),
+            features=None,
+            frames=np.stack(slot["frames"][fsl]),
+            frame_lead=lead,
+            lead_actions=np.asarray(slot["actions"][lsl], np.int32),
             result=score,
             data_range=(0, data_end - data_start),
             lives_lost=np.asarray(slot["lives_lost"][sl], bool),
@@ -239,11 +254,11 @@ class AtariTrajectoryCollector:
             # positions before the NEXT chunk's earliest possible start are
             # never needed again: next data_start >= data_end + 1 - seqlen...
             # keep one extra seqlen + margin of slack for the terminal
-            # back-extension
-            keep_from = max(offset, data_end + 1 - seqlen - margin)
+            # back-extension, plus HISTORY positions of frame-lead history
+            keep_from = max(offset, data_end + 1 - seqlen - margin - self.HISTORY)
             drop = keep_from - offset
             if drop > 0:
-                for key in ("actions", "policy", "values", "rewards", "features", "lives_lost"):
+                for key in ("actions", "policy", "values", "rewards", "frames", "lives_lost"):
                     del slot[key][:drop]
                 slot["offset"] = keep_from
         return FinishedGame(record=record, players=tuple([1] * record.length),

@@ -95,8 +95,27 @@ class ZeroLoop:
                 ale_factory=ale_factory,
             )
             self.env = self.vec_env.envs[0]
+            # device-resident frame window: records store single frames; the
+            # 32-ch stacks assemble on device at train time, killing the
+            # 340 MB-per-chunk feature upload that was ~95% of the optimize
+            # wall at b=128 (scripts/probe_atari_opt.py, VERDICT r4 #1)
+            from minizero_tpu.learner.frame_window import DeviceFrameWindow
+
+            spec = self.env.spec
+            rows = DeviceFrameWindow.rows_needed(cfg)
+            row_bytes = spec.input_height * spec.input_width * 3
+            on_device = rows * row_bytes <= cfg.learner_device_feature_window_gb * (1 << 30)
+            self.frame_window = DeviceFrameWindow(
+                rows, spec.input_height, spec.input_width, device=on_device)
+            self._assemble_jit = None
+            if not on_device:
+                print(f"[FrameWindow] {rows * row_bytes / 1e9:.1f} GB exceeds "
+                      f"learner_device_feature_window_gb="
+                      f"{cfg.learner_device_feature_window_gb}; using the "
+                      "host-assembly fallback (slower optimize)", flush=True)
         else:
             self.vec_env = None
+            self.frame_window = None
             self.env = make_env(cfg)
         self.network = create_network(cfg, self.env.spec)
         rng = jax.random.PRNGKey(cfg.program_seed if not cfg.program_auto_seed else int(time.time()))
@@ -392,6 +411,10 @@ class ZeroLoop:
                 finished, reset_slots = collector.add_moves(out)
                 for fg in finished:
                     self.buffer.add_game(fg.record)
+                    # upload this game's frames into the device ring NOW —
+                    # ~6 MB/game spread across self-play instead of a bulk
+                    # optimize-phase transfer
+                    self.frame_window.add(fg.record)
                     # slot envs are reset only after emission, so the seed
                     # read here is the one that produced this (chunk of the)
                     # episode — required for deterministic obs recovery
@@ -411,7 +434,7 @@ class ZeroLoop:
                     if cfg.zero_actor_record_observations:
                         # newest RGB frame per step (the stacked history is
                         # reconstructable from consecutive frames)
-                        obs = fg.record.features[:, :, :, -3:]
+                        obs = fg.record.frames[fg.record.frame_lead:]
                         line = line[:-1] + f"OBS[{pack_observations(obs)}]" + line[-1:]
                     record_file.write(line + "\n")
                     lengths.append(fg.record.length)
@@ -419,6 +442,8 @@ class ZeroLoop:
                     num_games += 1
                 if reset_slots:
                     self.vec_env.reset_done()
+        # drop frame-ring bookkeeping for games the replay buffer evicted
+        self.frame_window.retain(self.buffer.games)
         return self._selfplay_stats(iteration, num_games, lengths, returns, time.time() - t0)
 
     # ------------------------------------------------------------ optimizing
@@ -486,22 +511,31 @@ class ZeroLoop:
                 totals = {}
                 shown = sent_steps
 
+        frames_mode = self.buffer.frames_mode
         while done < cfg.learner_training_step:
             k_steps = min(chunk, cfg.learner_training_step - done)
             batches = []
             indices = []
+            lookups = []
             for _ in range(k_steps):
                 if self.is_muzero:
                     b = self.buffer.sample_muzero(bs, self.np_rng)
                 else:
                     b = self.buffer.sample_alphazero(bs, self.np_rng)
-                indices.append(b.pop("sampled_index"))
+                sampled_index = b.pop("sampled_index")
+                indices.append(sampled_index)
+                if frames_mode:
+                    recs = [self.buffer.games[g] for g in sampled_index[:, 0]]
+                    lookups.append(self.frame_window.lookup(recs, sampled_index[:, 1]))
                 batches.append(b)
             stacked = {
                 key: jnp.asarray(np.stack([b[key] for b in batches]))
                 for key in batches[0]
             }
-            stacked["features"] = self._feat_cast(stacked["features"])
+            if frames_mode:
+                stacked["features"] = self._assemble_chunk_features(lookups)
+            else:
+                stacked["features"] = self._feat_cast(stacked["features"])
             self.rng, k = jax.random.split(self.rng)
             self.state, metrics = self._train_chunk(self.state, stacked, k)
             done += k_steps
@@ -518,6 +552,28 @@ class ZeroLoop:
             pending = (metrics, done)
         if pending is not None:
             drain(*pending)
+
+    def _assemble_chunk_features(self, lookups) -> jnp.ndarray:
+        """Frames schema: turn per-step gather plans into the f32 [K, B, H,
+        W, 32] stacked features, on device when the window is resident
+        (~1 MB of indices/masks crosses the tunnel instead of 340 MB of
+        planes — learner/frame_window.py)."""
+        from minizero_tpu.learner.frame_window import (
+            assemble_features,
+            assemble_features_host,
+        )
+
+        idx = np.stack([lk["frame_idx"] for lk in lookups])
+        valid = np.stack([lk["frame_valid"] for lk in lookups])
+        aplane = np.stack([lk["frame_aplane"] for lk in lookups])
+        fw = self.frame_window
+        if fw.device:
+            if self._assemble_jit is None:
+                self._assemble_jit = jax.jit(assemble_features)
+            return self._assemble_jit(fw.frames, jnp.asarray(idx),
+                                      jnp.asarray(valid), jnp.asarray(aplane))
+        feats_u8 = assemble_features_host(fw.frames, idx, valid, aplane)
+        return self._feat_cast(jnp.asarray(feats_u8))
 
     def _optimize_stepwise(self, iteration: int) -> None:
         cfg = self.cfg
@@ -748,21 +804,25 @@ class ZeroLoop:
                     if not line:
                         continue
                     if self.is_host_env:
-                        # atari: features come from the record's OBS frames,
-                        # the episodic-life cut flags from its LL tag (no
-                        # device replay possible for a host env)
-                        from minizero_tpu.envs.atari import rebuild_features_from_frames
+                        # atari: frames come from the record's OBS tag, the
+                        # episodic-life cut flags from its LL tag (no device
+                        # replay possible for a host env). OBS stores only
+                        # the record's own positions, so resumed continuation
+                        # chunks zero-pad pre-chunk history (frame_lead=0) —
+                        # the documented resume approximation
                         from minizero_tpu.tools.obs import unpack_observations
 
                         tags, rec = game_record_from_string(line, self.env.spec.action_size)
                         if "OBS" not in tags:
                             continue  # stripped records are not trainable
-                        rec.features = rebuild_features_from_frames(
-                            unpack_observations(tags["OBS"]), rec.actions
-                        )
+                        rec.features = None
+                        rec.frames = unpack_observations(tags["OBS"])
+                        rec.frame_lead = 0
+                        rec.lead_actions = None
                         if "LL" in tags:
                             rec.lives_lost = np.asarray([c == "1" for c in tags["LL"]], bool)
                         self.buffer.add_game(rec)
+                        self.frame_window.add(rec)
                         loaded += 1
                     else:
                         _, rec = game_record_from_string(line, self.env.spec.action_size)
@@ -772,6 +832,8 @@ class ZeroLoop:
             flush_pending()
         finally:
             bar.close()
+        if self.frame_window is not None:
+            self.frame_window.retain(self.buffer.games)
         self.cfg = self.cfg.replace(zero_start_iteration=start_iter)
         self.log(f"[Resume] iteration {start_iter}, {loaded} games reloaded")
         return start_iter

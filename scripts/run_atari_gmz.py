@@ -24,7 +24,7 @@ if os.environ.get("MINIZERO_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["MINIZERO_PLATFORM"])
 
 
-def main(run_dir="runs/atari_gmz_r2", iterations=3, batch=256, sims=0):
+def main(run_dir="runs/atari_gmz_r2", iterations=3, batch=256, sims=0, rb=0):
     from minizero_tpu.config import algorithm_preset, default_config
     from minizero_tpu.envs.atari import FakeALE
     from minizero_tpu.zero.loop import ZeroLoop
@@ -50,6 +50,10 @@ def main(run_dir="runs/atari_gmz_r2", iterations=3, batch=256, sims=0):
         zero_actor_record_observations=True,
         program_auto_seed=False,
     )
+    if rb:
+        # smaller replay window (e.g. 8 iterations) keeps the whole frame
+        # window device-resident within learner_device_feature_window_gb
+        over.update(zero_replay_buffer=rb)
     if os.environ.get("ATARI_SMOKE_TINY"):  # CPU flow check
         over.update(nn_num_blocks=1, nn_num_hidden_channels=8,
                     nn_num_value_hidden_channels=8, actor_num_simulation=3,
@@ -93,4 +97,5 @@ if __name__ == "__main__":
     main(*(sys.argv[1:] and [sys.argv[1]] or []),
          **({"iterations": int(sys.argv[2])} if len(sys.argv) > 2 else {}),
          **({"batch": int(sys.argv[3])} if len(sys.argv) > 3 else {}),
-         **({"sims": int(sys.argv[4])} if len(sys.argv) > 4 else {}))
+         **({"sims": int(sys.argv[4])} if len(sys.argv) > 4 else {}),
+         **({"rb": int(sys.argv[5])} if len(sys.argv) > 5 else {}))

@@ -77,8 +77,15 @@ def test_host_engine_drive():
             break
     assert games >= 1
     assert len(buffer) >= 1
+    # frames schema: records carry single frames (+lead history); the stack
+    # is assembled at train time from the frame window, so sample_muzero
+    # returns no "features" key (tests/test_frame_window.py checks parity)
+    assert buffer.frames_mode
+    rec = buffer.games[0]
+    assert rec.features is None
+    assert rec.frames.shape == (rec.frame_lead + rec.length, 96, 96, 3)
     batch = buffer.sample_muzero(4, np.random.RandomState(0))
-    assert batch["features"].shape == (4, 96, 96, 32)
+    assert "features" not in batch
     assert batch["actions"].shape == (4, cfg.learner_muzero_unrolling_step)
 
 
@@ -136,7 +143,7 @@ def test_chunking_ranges():
 
     spec = atari_spec()
     col = AtariTrajectoryCollector(cfg, spec, 1)
-    feats = np.zeros((1, 4, 4, 1), np.uint8)  # shapes don't matter to the collector
+    frames = np.zeros((1, 4, 4, 3), np.uint8)  # shapes don't matter to the collector
     chunks = []
     for t in range(30):
         out = HostMoveOutput(
@@ -144,7 +151,7 @@ def test_chunking_ranges():
             policy_target=np.zeros((1, spec.action_size), np.float32),
             root_value=np.array([0.5]),
             reward=np.array([1.0]),
-            features=feats,
+            frames=frames,
             done=np.array([t == 29]),
             eval_score=np.array([30.0]),
             lives_lost=np.array([False]),
@@ -233,7 +240,10 @@ def test_zero_loop_atari_smoke(tmp_path):
     a = loop.buffer.games[0]
     b = loop2.buffer.games[0]
     np.testing.assert_array_equal(a.actions, b.actions)
-    np.testing.assert_array_equal(a.features, b.features)
+    # full-episode records (seqlen 0): lead is 0 both live and resumed,
+    # so the frames arrays must match byte for byte
+    assert a.frame_lead == b.frame_lead == 0
+    np.testing.assert_array_equal(a.frames, b.frames)
     np.testing.assert_array_equal(a.lives_lost, b.lives_lost)
 
 
@@ -271,7 +281,7 @@ def test_obs_recover_roundtrip_chunked():
             policy_target=np.zeros((1, spec.action_size), np.float32),
             root_value=np.array([0.0]),
             reward=np.array([env.reward]),
-            features=feats,
+            frames=feats[:, :, :, -3:],  # newest frame of the pre-move stack
             done=np.array([env.is_terminal()]),
             eval_score=np.array([env.eval_score()]),
             lives_lost=np.array([False]),
@@ -287,7 +297,7 @@ def test_obs_recover_roundtrip_chunked():
             extra["OFF"] = str(fg.abs_start)
         line = serialize_game(spec.name, fg.record, spec.board_size, fg.players,
                               extra_tags=extra)
-        obs = fg.record.features[:, :, :, -3:]
+        obs = fg.record.frames[fg.record.frame_lead:]
         lines.append(line[:-1] + f"OBS[{pack_observations(obs)}]" + line[-1:])
     stripped = [remove_obs(ln) for ln in lines]
     assert all("OBS[" not in s for s in stripped)

@@ -37,21 +37,36 @@ import numpy as np
 HISTORY = 8  # frames per stack (reference atari.h kHistorySize)
 
 
-def assemble_features(window: jnp.ndarray, idx: jnp.ndarray,
+def assemble_features(window, idx: jnp.ndarray,
                       valid: jnp.ndarray, aplane: jnp.ndarray) -> jnp.ndarray:
     """u8 frame rows -> f32 stacked feature planes, on device.
 
-    window  u8[R, H, W, 3] — the resident frame ring
-    idx     i32[..., 8]    — window row of history slot k (0 oldest)
+    window  tuple of u8[Rs, H, W, 3] — the resident frame ring, sharded
+            into sub-2^32-element banks: XLA:TPU's gather lowering
+            overflows an i32 offset past 2^32 operand elements and the
+            compile helper crashes (measured: 131072-row banks compile,
+            262144 fail — scripts/probe_assemble_compile2.py). Rows are
+            global; bank s covers [off_s, off_s + Rs).
+    idx     i32[..., 8]    — global window row of history slot k (0 oldest)
     valid   bool[..., 8]   — False -> zero-pad (before episode start)
     aplane  u8[..., 8]     — quantised action plane byte per slot
     returns f32[..., H, W, 32] — channel 4k = action plane, 4k+1..3 = RGB
     (reference ``atari.cpp:112-122``; parity with
     ``AtariVecEnv.features_u8`` / ``rebuild_features_from_frames``).
     """
+    if not isinstance(window, (tuple, list)):
+        window = (window,)
     lead_shape = idx.shape
-    h, w = window.shape[1], window.shape[2]
-    f = jnp.take(window, idx.reshape(-1), axis=0)  # [N, H, W, 3] one dense gather
+    h, w = window[0].shape[1], window[0].shape[2]
+    flat_idx = idx.reshape(-1)
+    f = jnp.zeros((flat_idx.shape[0], h, w, 3), jnp.uint8)
+    off = 0
+    for bank in window:  # banks' row masks are mutually exclusive
+        local = jnp.clip(flat_idx - off, 0, bank.shape[0] - 1)
+        hit = (flat_idx >= off) & (flat_idx < off + bank.shape[0])
+        f = jnp.where(hit[:, None, None, None],
+                      jnp.take(bank, local, axis=0), f)
+        off += bank.shape[0]
     f = f.reshape(*lead_shape, h, w, 3)
     f = jnp.where(valid[..., None, None, None], f, jnp.uint8(0))
     ap = jnp.broadcast_to(aplane[..., None, None, None], (*lead_shape, h, w, 1))
@@ -93,19 +108,33 @@ class DeviceFrameWindow:
     array for :func:`assemble_features_host` (windows past the HBM budget).
     """
 
+    #: rows per device bank, kept under XLA:TPU's ~2^32-element gather
+    #: operand limit (114688 * 96*96*3 = 3.17e9; the lowering's i32 offsets
+    #: overflow past 2^32 and the compile helper crashes — see
+    #: assemble_features). Multiple of BUCKET so blocks never straddle banks.
+    BANK_ROWS = 114688
+
     def __init__(self, rows: int, height: int, width: int, device: bool = True):
         self.rows = int(rows)
         self.device = device
         if device:
-            self.frames = jnp.zeros((self.rows, height, width, 3), jnp.uint8)
+            sizes = []
+            left = self.rows
+            while left > 0:
+                sizes.append(min(left, self.BANK_ROWS))
+                left -= sizes[-1]
+            self.frames = tuple(
+                jnp.zeros((s, height, width, 3), jnp.uint8) for s in sizes)
+            self._bank_offs = np.concatenate([[0], np.cumsum(sizes)])
 
-            def _write(window, block, start):
+            def _write(bank, block, start):
                 return jax.lax.dynamic_update_slice(
-                    window, block, (start,) + (0,) * (window.ndim - 1))
+                    bank, block, (start,) + (0,) * (bank.ndim - 1))
 
             self._write = jax.jit(_write, donate_argnums=0)
         else:
             self.frames = np.zeros((self.rows, height, width, 3), np.uint8)
+            self._bank_offs = np.array([0, self.rows])
         self._cursor = 0
         # id(record) -> dict(base, lead, n, aplane_full u8[lead+L], record)
         # (the record ref keeps the id stable while the entry lives)
@@ -119,7 +148,9 @@ class DeviceFrameWindow:
         per_game = (seqlen + 2 * margin + HISTORY + 2) if seqlen > 0 else 30000
         per_game += DeviceFrameWindow.BUCKET  # allocation rounding
         games = cfg.zero_replay_buffer * cfg.zero_num_games_per_iteration
-        return per_game * games + per_game  # + wasted tail
+        total = per_game * games
+        # slack for the ring-wrap tail + per-bank boundary skips
+        return total + per_game * (2 + total // DeviceFrameWindow.BANK_ROWS)
 
     #: rows are claimed in buckets so the jitted ring write sees a handful
     #: of block shapes (each fresh shape is a remote XLA compile over the
@@ -132,19 +163,18 @@ class DeviceFrameWindow:
         frames = record.frames
         n = frames.shape[0]
         n_alloc = -(-n // self.BUCKET) * self.BUCKET
-        if n_alloc > self.rows:
+        if n_alloc > int(self._bank_offs[1]):  # must fit one (full) bank
             raise ValueError(f"frame window too small: game needs {n_alloc} "
-                             f"rows, ring has {self.rows}")
-        if self._cursor + n_alloc > self.rows:
-            self._evict_range(self._cursor, self.rows)  # wasted tail
-            self._cursor = 0
-        base = self._cursor
-        self._evict_range(base, base + n_alloc)
+                             f"rows, a bank has {int(self._bank_offs[1])}")
+        base = self._claim(n_alloc)
         if self.device:
             block = np.zeros((n_alloc,) + frames.shape[1:], np.uint8)
             block[:n] = frames
-            self.frames = self._write(
-                self.frames, jnp.asarray(block), jnp.int32(base))
+            s = int(np.searchsorted(self._bank_offs, base, side="right") - 1)
+            banks = list(self.frames)
+            banks[s] = self._write(banks[s], jnp.asarray(block),
+                                   jnp.int32(base - int(self._bank_offs[s])))
+            self.frames = tuple(banks)
         else:
             self.frames[base:base + n] = frames
         lead = record.frame_lead
@@ -163,6 +193,25 @@ class DeviceFrameWindow:
             "aplane_full": aplane_full, "record": record,
         }
         self._cursor = base + n_alloc
+
+    def _claim(self, n_alloc: int) -> int:
+        """Advance the cursor to a block that fits without straddling a
+        bank boundary (a gather-side row range must live in ONE bank);
+        skipped tails are evicted like the ring-wrap tail."""
+        while True:
+            if self._cursor + n_alloc > self.rows:
+                self._evict_range(self._cursor, self.rows)  # wasted tail
+                self._cursor = 0
+                continue
+            s = int(np.searchsorted(self._bank_offs, self._cursor, side="right") - 1)
+            bank_end = int(self._bank_offs[s + 1])
+            if self._cursor + n_alloc > bank_end:
+                self._evict_range(self._cursor, bank_end)
+                self._cursor = bank_end
+                continue
+            base = self._cursor
+            self._evict_range(base, base + n_alloc)
+            return base
 
     def _evict_range(self, lo: int, hi: int) -> None:
         for key in [k for k, e in self._games.items()

@@ -90,6 +90,25 @@ def test_assembled_stacks_match_selfplay_features(device):
         np.testing.assert_array_equal(got.astype(np.uint8), expect)
 
 
+def test_multi_bank_window_parity(monkeypatch):
+    """Device rings shard into sub-2^32-element banks (XLA:TPU gather
+    operand limit); blocks never straddle banks and gathers stay exact."""
+    monkeypatch.setattr(DeviceFrameWindow, "BANK_ROWS", 128)
+    records = _drive(moves=30)
+    rows = sum(-(-r.frames.shape[0] // 64) * 64 for r, _ in records) * 2 + 256
+    fw = DeviceFrameWindow(rows, 96, 96, device=True)
+    assert len(fw.frames) >= 3  # genuinely multi-bank
+    for rec, _ in records:
+        fw.add(rec)
+    for rec, expect in records:
+        pos = np.arange(rec.length)
+        lk = fw.lookup([rec] * rec.length, pos)
+        got = np.asarray(assemble_features(
+            fw.frames, jnp.asarray(lk["frame_idx"]),
+            jnp.asarray(lk["frame_valid"]), jnp.asarray(lk["frame_aplane"])))
+        np.testing.assert_array_equal(got.astype(np.uint8), expect)
+
+
 def test_window_wrap_evicts_oldest_and_guards_lookup():
     records = [r for r, _ in _drive(moves=30)]
     one = -(-records[0].frames.shape[0] // DeviceFrameWindow.BUCKET) \

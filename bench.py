@@ -121,12 +121,20 @@ def _bench_az200(trained: bool) -> dict:
         net_ps = sum(r[1] for r in rows if any(
             s in r[0].lower() for s in ("conv", "dot", "fusion.clone")))
         tree_ps = sum(r[1] for r in rows if "custom-call" in r[0].lower())
+        # source-line attribution: names the while-loops the op view leaves
+        # opaque (VERDICT r4 weak #2 — "~68% of device time unattributed")
+        src_rows, src_total = aggregate(trace_dir, by="source")
+        src_total = float(src_total) or 1.0
         out["device_split"] = {
             "net_pct": round(100.0 * net_ps / total, 1),
             "tree_kernel_pct": round(100.0 * tree_ps / total, 1),
             "top_ops": [
                 {"op": r[0][:40], "pct": round(100.0 * r[1] / total, 1)}
                 for r in rows[:4]
+            ],
+            "top_sources": [
+                {"source": r[0][-80:], "pct": round(100.0 * r[1] / src_total, 1)}
+                for r in src_rows[:8]
             ],
         }
     return out
@@ -188,7 +196,8 @@ def _atari_e2e_from_run() -> dict:
     import re
 
     runs = os.path.join(os.path.dirname(__file__), "runs")
-    log = next((p for p in (os.path.join(runs, "atari_gmz_r4_b128.log"),
+    log = next((p for p in (os.path.join(runs, "atari_gmz_r5_b128", "Training.log"),
+                            os.path.join(runs, "atari_gmz_r4_b128.log"),
                             os.path.join(runs, "atari_gmz_r3_b128.log"))
                 if os.path.exists(p)), None)
     if log is None:
@@ -265,10 +274,21 @@ def _trace_top_ops(engine, variables, states, rng) -> list:
         jax.block_until_ready(jax.tree_util.tree_leaves(states)[0])
     rows, total_ps = aggregate(trace_dir, by="op")
     total = float(total_ps) or 1.0
-    return [
-        {"op": r[0][:48], "ms": round(r[1] / 1e9, 3), "pct": round(100.0 * r[1] / total, 1)}
-        for r in rows[:5]
-    ]
+    src_rows, src_total = aggregate(trace_dir, by="source")
+    src_total = float(src_total) or 1.0
+    return {
+        "top_ops": [
+            {"op": r[0][:48], "ms": round(r[1] / 1e9, 3),
+             "pct": round(100.0 * r[1] / total, 1)}
+            for r in rows[:5]
+        ],
+        # source-line attribution for the opaque while-loops (VERDICT r4
+        # weak #3: 25% of gaz device time was two unnamed loops)
+        "top_sources": [
+            {"source": r[0][-80:], "pct": round(100.0 * r[1] / src_total, 1)}
+            for r in src_rows[:8]
+        ],
+    }
 
 
 def main(batch_size: int = 1024, measure_moves: int = 12) -> None:

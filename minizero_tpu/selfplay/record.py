@@ -79,7 +79,11 @@ def serialize_game(
     return "".join(parts)
 
 
-_TOKEN = re.compile(r"(;?)([A-Za-z]+)\[((?:\\.|[^\]\\])*)\]")
+# "unrolled loop" escape pattern: the naive ((?:\\.|[^\]\\])*) alternation
+# tries the escape branch per character, which crawls over multi-megabyte
+# Atari OBS hex payloads (~1.5 s/record -> 20+ min window resumes); the
+# unrolled form scans the common no-escape run with one character class
+_TOKEN = re.compile(r"(;?)([A-Za-z]+)\[([^\]\\]*(?:\\.[^\]\\]*)*)\]")
 
 
 def parse_game(content: str, action_size: int) -> Tuple[Dict[str, str], List[Dict[str, str]]]:
@@ -87,7 +91,8 @@ def parse_game(content: str, action_size: int) -> Tuple[Dict[str, str], List[Dic
     tags: Dict[str, str] = {}
     moves: List[Dict[str, str]] = []
     for semi, key, value in _TOKEN.findall(content):
-        value = re.sub(r"\\(.)", r"\1", value)
+        if "\\" in value:
+            value = re.sub(r"\\(.)", r"\1", value)
         if key in _CHAR_PLAYERS and semi == ";":
             moves.append({"player": key, "action": value})
         elif moves and key not in ("OBS", "LL"):

@@ -82,7 +82,13 @@ def main(run_dir="runs/atari_gmz_r2", iterations=3, batch=256, sims=0, rb=0):
     print(f"run complete: {iterations} iterations in {wall:.1f}s "
           f"(~{moves / max(wall, 1):.0f} env-steps/s incl. training)", flush=True)
 
-    # OBS-based resume: a fresh loop must rebuild the window from records
+    # OBS-based resume: a fresh loop must rebuild the window from records.
+    # Free the finished loop FIRST — two live loops means two device frame
+    # windows (~7.5 GB each at rb=7) and a ResourceExhausted on the chip.
+    import gc
+
+    del loop
+    gc.collect()
     loop2 = ZeroLoop(cfg.replace(zero_end_iteration=iterations + 1), run_dir,
                      ale_factory=factory)
     start = loop2.resume()

@@ -77,13 +77,21 @@ def gather_rows(x: jnp.ndarray, idx: jnp.ndarray, interpret: bool = False) -> jn
     b, n, w = x.shape
     assert n % 8 == 0, f"gather_rows needs row dim % 8 == 0, got {n}"
     assert w % 128 == 0, f"gather_rows needs lane dim % 128 == 0, got {w}"
-    tile = _TILE
-    while b % tile:
-        tile //= 2
     idx = idx.astype(jnp.int32)
+    # batch sizes not divisible by 8 (e.g. eval matches at b=100) would
+    # drive the tile below the (8, 128) Mosaic block floor; pad the index
+    # lane with skip markers instead — padded lanes issue no DMA and the
+    # padded output rows are dropped
+    pad = (-b) % 8
+    if pad:
+        idx = jnp.concatenate([idx, jnp.full((pad,), -1, jnp.int32)])
+    bp = b + pad
+    tile = _TILE
+    while bp % tile:
+        tile //= 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b // tile,),
+        grid=(bp // tile,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((tile, 1), lambda i, *_: (i, 0),
@@ -96,12 +104,13 @@ def gather_rows(x: jnp.ndarray, idx: jnp.ndarray, interpret: bool = False) -> jn
             pltpu.SemaphoreType.DMA((tile,)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_gather_kernel, tile),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, w), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bp, w), x.dtype),
         interpret=interpret,
-    )(idx, x, idx.reshape(b, 1))
+    )(idx, x, idx.reshape(bp, 1))
+    return out[:b] if pad else out
 
 
 def gather_rows_reference(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

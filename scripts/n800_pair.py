@@ -43,7 +43,7 @@ def main(run_dir, iter_a, iter_b, games=200, sims=800, opening_plies=4):
     env_name = next(p.split("=", 1)[1] for p in kv if p.startswith("env_name="))
     cfg = default_config(env_name).load_string(":".join(kv))
     cfg = cfg.replace(actor_num_simulation=int(sims),
-                      zero_num_parallel_games=min(int(games), 100))
+                      zero_num_parallel_games=min(int(games), 96))
     env = make_env(cfg)
     net = create_network(cfg, env.spec)
     va = load_checkpoint_variables(ck_a, cfg, net, env.spec)

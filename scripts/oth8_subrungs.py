@@ -32,7 +32,7 @@ cfg = cfg.load_string(
     "actor_num_simulation=800:actor_select_action_by_count=true:"
     "actor_select_action_by_softmax_count=false:actor_use_dirichlet_noise=false:"
     "actor_use_gumbel_noise=false")
-cfg = cfg.replace(zero_num_parallel_games=100)
+cfg = cfg.replace(zero_num_parallel_games=96)
 env = make_env(cfg)
 net = create_network(cfg, env.spec)
 

@@ -62,7 +62,9 @@ def test_blob_roundtrip_under_jit_and_vmap_free():
 
 def test_gather_rows_matches_reference():
     rng = np.random.default_rng(1)
-    for b, n, w in [(8, 8, 128), (64, 208, 768), (16, 40, 256)]:
+    # 100 and 12: batches not divisible by 8 (eval matches) pad with
+    # skip lanes inside gather_rows
+    for b, n, w in [(8, 8, 128), (64, 208, 768), (16, 40, 256), (100, 16, 128), (12, 8, 128)]:
         x = jnp.asarray(rng.integers(-2**31, 2**31, (b, n, w), np.int32))
         # indices may cover only a prefix (engine: n rounded up from max_nodes)
         idx = jnp.asarray(rng.integers(0, n - 3, (b,), np.int32))

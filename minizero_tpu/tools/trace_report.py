@@ -62,15 +62,19 @@ def aggregate(trace_dir: str, by: str = "op", device_filter: str = "TPU"):
                     dur = ev.duration_ps
                     key = name
                     if by == "source":
+                        # the JAX source location rides the EVENT METADATA's
+                        # stats (XEventMetadata.stats, "source"/"tf_op"), not
+                        # the per-event stats (those carry only timings)
                         key = "<unknown>"
-                        for st in ev.stats:
+                        md_stats = list(md.stats) if md else []
+                        for st in list(ev.stats) + md_stats:
                             smd = stat_meta.get(st.metadata_id)
                             if smd and smd.name in ("tf_op", "source", "equation"):
-                                v = st.str_metadata_id
-                                if v:
-                                    sm2 = stat_meta.get(v)
+                                which = st.WhichOneof("value")
+                                if which == "ref_value":
+                                    sm2 = stat_meta.get(st.ref_value)
                                     key = sm2.name if sm2 else key
-                                elif st.HasField("str_value"):
+                                elif which == "str_value":
                                     key = st.str_value
                                 break
                         if key == "<unknown>":

@@ -148,6 +148,47 @@ def global_batch_from_local(mesh: Mesh, local_batch: dict) -> dict:
     }
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """[K, B, ...] chunk arrays: scan dim replicated, batch dim over dp."""
+    return NamedSharding(mesh, P(None, "dp"))
+
+
+def global_stacked_from_local(mesh: Mesh, stacked: dict) -> dict:
+    """Assemble [K, B_global, ...] chunk arrays from per-process
+    [K, b_local, ...] host data (the chunked-optimizer data plane)."""
+    sharding = stacked_batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sharding) for k, v in stacked.items()}
+    return {
+        k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        for k, v in stacked.items()
+    }
+
+
+def make_sharded_train_chunk(cfg, env, network, mesh: Mesh, state_shardings):
+    """K train steps per dispatch under the mesh (``lax.scan``), mirroring
+    the single-host chunked optimizer. Round-5 weak-scaling attribution
+    showed the per-step dispatch path 4.4x slower distributed than solo
+    (global rendezvous + a blocking watchdog per step); one dispatch per
+    chunk amortizes both, and the gradient all-reduce stays in-graph."""
+    from minizero_tpu.learner.train import make_train_step
+
+    step_fn = make_train_step(cfg, env, network)
+
+    def chunk(state, batches, rng):
+        def body(carry, batch):
+            st, kk = carry
+            kk, k2 = jax.random.split(kk)
+            st, metrics = step_fn(st, batch, k2)
+            return (st, kk), metrics
+
+        (state, _), metrics = jax.lax.scan(body, (state, rng), batches)
+        return state, metrics
+
+    return jax.jit(chunk, in_shardings=(state_shardings, None, None),
+                   out_shardings=(state_shardings, None), donate_argnums=0)
+
+
 def make_sharded_train_step(cfg, env, network, mesh: Mesh, state):
     """Jit the train step with replicated state and dp-sharded batch; XLA
     inserts the gradient all-reduce over ICI (replaces nn.DataParallel,

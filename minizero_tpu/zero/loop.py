@@ -156,6 +156,14 @@ class ZeroLoop:
             self._train_step, self.state, self._state_shardings = make_sharded_train_step(
                 cfg, self.env, self.network, mesh, self.state
             )
+            # chunked optimizer under the mesh too: the per-step dispatch
+            # path measured 4.4x slower distributed than solo (round-5
+            # weak-scaling phase attribution) — one dispatch + one watchdog
+            # block per K-step chunk instead of per step
+            from minizero_tpu.parallel.distributed import make_sharded_train_chunk
+
+            self._train_chunk = make_sharded_train_chunk(
+                cfg, self.env, self.network, mesh, self._state_shardings)
         else:
             self.sharded = None
             self._train_step = jax.jit(make_train_step(cfg, self.env, self.network), donate_argnums=0)
@@ -451,10 +459,10 @@ class ZeroLoop:
         cfg = self.cfg
         self.buffer.per_beta = per_beta_for_iteration(cfg, iteration)
         t0 = time.time()
-        if self.mesh is None:
-            self._optimize_chunked(iteration)
-        else:
-            self._optimize_stepwise(iteration)
+        # chunked for solo AND mesh: the retired per-step mesh path measured
+        # 4.4x slower distributed than solo (round-5 weak-scaling phase
+        # attribution — global rendezvous + a blocking watchdog per step)
+        self._optimize_chunked(iteration)
         dt = time.time() - t0
         self.log(f"[Optimization] iteration {iteration}: {cfg.learner_training_step} steps in {dt:.1f}s")
         self.log(f"Optimization_Done {int(self.state.step)}")
@@ -512,6 +520,10 @@ class ZeroLoop:
                 shown = sent_steps
 
         frames_mode = self.buffer.frames_mode
+        # multi-host: every host samples its shard of the global batch from
+        # its local buffer; the stacked [K, b_local] arrays assemble into
+        # [K, B_global] dp-sharded chunks (parallel/distributed.py)
+        local_bs = bs // self.num_procs if self.mesh is not None else bs
         while done < cfg.learner_training_step:
             k_steps = min(chunk, cfg.learner_training_step - done)
             batches = []
@@ -519,19 +531,25 @@ class ZeroLoop:
             lookups = []
             for _ in range(k_steps):
                 if self.is_muzero:
-                    b = self.buffer.sample_muzero(bs, self.np_rng)
+                    b = self.buffer.sample_muzero(local_bs, self.np_rng)
                 else:
-                    b = self.buffer.sample_alphazero(bs, self.np_rng)
+                    b = self.buffer.sample_alphazero(local_bs, self.np_rng)
                 sampled_index = b.pop("sampled_index")
                 indices.append(sampled_index)
                 if frames_mode:
                     recs = [self.buffer.games[g] for g in sampled_index[:, 0]]
                     lookups.append(self.frame_window.lookup(recs, sampled_index[:, 1]))
                 batches.append(b)
-            stacked = {
-                key: jnp.asarray(np.stack([b[key] for b in batches]))
+            host_stacked = {
+                key: np.stack([b[key] for b in batches])
                 for key in batches[0]
             }
+            if self.mesh is not None:
+                from minizero_tpu.parallel.distributed import global_stacked_from_local
+
+                stacked = global_stacked_from_local(self.mesh, host_stacked)
+            else:
+                stacked = {key: jnp.asarray(v) for key, v in host_stacked.items()}
             if frames_mode:
                 stacked["features"] = self._assemble_chunk_features(lookups)
             else:
@@ -539,8 +557,26 @@ class ZeroLoop:
             self.rng, k = jax.random.split(self.rng)
             self.state, metrics = self._train_chunk(self.state, stacked, k)
             done += k_steps
+            if self.num_procs > 1:
+                # the gradient all-reduce spans hosts: block once per chunk
+                # under the watchdog so a dead peer aborts this host promptly
+                from minizero_tpu.parallel.watchdog import collective_watchdog
+
+                with collective_watchdog(f"train_chunk_{done}",
+                                         self.cfg.zero_collective_timeout, self.log):
+                    jax.block_until_ready(jax.tree_util.tree_leaves(metrics))
             if cfg.learner_use_per and "_new_values" in metrics:
-                new_values = np.asarray(metrics.pop("_new_values"))  # [K, B]
+                nv = metrics.pop("_new_values")  # [K, B_global]
+                if self.num_procs > 1:
+                    # only this host's rows of the batch-sharded global array
+                    from jax.experimental.multihost_utils import (
+                        global_array_to_host_local_array,
+                    )
+                    from jax.sharding import PartitionSpec
+
+                    nv = global_array_to_host_local_array(
+                        nv, self.mesh, PartitionSpec(None, "dp"))
+                new_values = np.asarray(nv)  # [K, b_local]
                 for i, sampled_index in enumerate(indices):
                     self.buffer.refresh_priorities(sampled_index, new_values[i])
             metrics.pop("_new_values", None)
@@ -574,66 +610,6 @@ class ZeroLoop:
                                       jnp.asarray(valid), jnp.asarray(aplane))
         feats_u8 = assemble_features_host(fw.frames, idx, valid, aplane)
         return self._feat_cast(jnp.asarray(feats_u8))
-
-    def _optimize_stepwise(self, iteration: int) -> None:
-        cfg = self.cfg
-        totals: Dict[str, float] = {}
-        # multi-host: every host contributes its shard of the global batch
-        # (sampled from its local buffer); the global array assembles them
-        local_bs = cfg.learner_batch_size // self.num_procs
-        for step in range(1, cfg.learner_training_step + 1):
-            if self.is_muzero:
-                batch = self.buffer.sample_muzero(local_bs, self.np_rng)
-            else:
-                batch = self.buffer.sample_alphazero(local_bs, self.np_rng)
-            sampled_index = batch.pop("sampled_index")
-            if self.mesh is not None:
-                from minizero_tpu.parallel.distributed import global_batch_from_local
-
-                batch = global_batch_from_local(self.mesh, batch)
-            else:
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            # cast u8 feature planes to f32 as a separate kernel: a u8
-            # convert feeding the conv-grad graph trips an XLA:TPU
-            # space-to-batch compiler crash (select(f32, u8) check failure);
-            # transfers stay u8, the cast runs on device
-            batch["features"] = self._feat_cast(batch["features"])
-            self.rng, k = jax.random.split(self.rng)
-            self.state, metrics = self._train_step(self.state, batch, k)
-            if self.num_procs > 1:
-                # the gradient all-reduce spans hosts: block on it under the
-                # watchdog so a dead peer aborts this host promptly instead
-                # of wedging the dispatch queue forever
-                from minizero_tpu.parallel.watchdog import collective_watchdog
-
-                with collective_watchdog(f"train_step_{step}",
-                                         self.cfg.zero_collective_timeout, self.log):
-                    jax.block_until_ready(metrics)
-            if cfg.learner_use_per and "_new_values" in metrics:
-                # refresh sampled priorities from the fresh net values
-                # (reference train.py:208-209, data_loader.cpp:233-253)
-                nv = metrics.pop("_new_values")
-                if self.num_procs > 1:
-                    # only this host's rows of the batch-sharded global array
-                    from jax.experimental.multihost_utils import (
-                        global_array_to_host_local_array,
-                    )
-                    from jax.sharding import PartitionSpec
-
-                    nv = global_array_to_host_local_array(
-                        nv, self.mesh, PartitionSpec("dp"))
-                new_values = np.asarray(nv)
-                self.buffer.refresh_priorities(sampled_index, new_values)
-            metrics.pop("_new_values", None)
-            for key, val in metrics.items():
-                totals[key] = totals.get(key, 0.0) + float(val)
-            if step % cfg.learner_training_display_step == 0:
-                avg = {k: v / cfg.learner_training_display_step for k, v in totals.items()}
-                self.op_log(
-                    f"nn step {int(self.state.step)}, lr: {cfg.learner_learning_rate}. "
-                    + " ".join(f"{k}: {v:.5f}" for k, v in sorted(avg.items()))
-                )
-                totals = {}
 
     # ------------------------------------------------------------ checkpoint
     def save_checkpoint(self) -> str:
